@@ -1,0 +1,125 @@
+"""Command-line interface.
+
+The reference has no general-purpose CLI — every entry point is a
+``main()`` with hardcoded paths (``src/metrics/ExecutionTimes*.java``).
+This CLI exposes the same capability surface with real flags:
+
+- ``align``  — run the comparison pipeline (any strategy)
+- ``info``   — dataset statistics (RefSetInfo equivalent)
+- ``gen``    — synthetic benchmark corpora (EngineerData equivalent)
+- ``bench``  — execution-time sweeps (ExecutionTimes* equivalent)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_align(sub):
+    p = sub.add_parser("align", help="run the alignment pipeline")
+    p.add_argument("--ref-dir", required=True)
+    p.add_argument("--in-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--out-name", default="result")
+    p.add_argument("--out-ext", default=".txt")
+    p.add_argument("--delimiter", default=">gi")
+    p.add_argument("--match", type=int, default=5)
+    p.add_argument("--mismatch", type=int, default=-3)
+    p.add_argument("--gap", type=int, default=-4)
+    p.add_argument(
+        "--strategy",
+        default="batch",
+        choices=["serial", "batch", "wavefront", "shard_refs", "shard_reads"],
+    )
+
+
+def _add_info(sub):
+    p = sub.add_parser("info", help="reference dataset statistics")
+    p.add_argument("--ref-dir", required=True)
+    p.add_argument("--out-file", required=True)
+    p.add_argument("--delimiter", default=">gi")
+
+
+def _add_gen(sub):
+    p = sub.add_parser("gen", help="generate synthetic benchmark corpora")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument(
+        "--sweeps",
+        nargs="+",
+        default=["read_num", "read_len", "ref_num", "ref_len"],
+        choices=["read_num", "read_len", "ref_num", "ref_len"],
+    )
+
+
+def _add_bench(sub):
+    p = sub.add_parser("bench", help="execution-time sweeps")
+    p.add_argument("--data-dir", required=True, help="dir from `gen`")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--strategy", default="batch")
+    p.add_argument(
+        "--sweeps",
+        nargs="+",
+        default=["read_num", "read_len", "ref_num", "ref_len"],
+        choices=["read_num", "read_len", "ref_num", "ref_len"],
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="sparksmithwaterman_tpu",
+        description="TPU-native Smith-Waterman alignment engine",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_align(sub)
+    _add_info(sub)
+    _add_gen(sub)
+    _add_bench(sub)
+    args = parser.parse_args(argv)
+
+    if args.command == "align":
+        from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
+        from sparksmithwaterman_tpu.models.pipeline import run_pipeline
+
+        config = AlignConfig(
+            ref_dir=args.ref_dir,
+            in_dir=args.in_dir,
+            out_dir=args.out_dir,
+            out_name=args.out_name,
+            out_ext=args.out_ext,
+            delimiter=args.delimiter,
+            scoring=ScoringScheme(
+                match=args.match, mismatch=args.mismatch, gap=args.gap
+            ),
+            strategy=args.strategy,
+        )
+        paths = run_pipeline(config)
+        for p in paths:
+            print(p)
+        return 0
+
+    if args.command == "info":
+        from sparksmithwaterman_tpu.metrics.refset_info import print_all_info
+
+        print_all_info(args.ref_dir, args.out_file, args.delimiter)
+        print(args.out_file)
+        return 0
+
+    if args.command == "gen":
+        from sparksmithwaterman_tpu.metrics import engineer_data
+
+        engineer_data.generate(args.out_dir, args.sweeps)
+        print(args.out_dir)
+        return 0
+
+    if args.command == "bench":
+        from sparksmithwaterman_tpu.metrics.execution_times import run_sweeps
+
+        run_sweeps(args.data_dir, args.out_dir, args.strategy, args.sweeps)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""Typed configuration for the alignment engine.
+
+The reference keeps all parameters as hardcoded private constants with
+nullable positional overrides (reference ``src/sw/Distribution.java:36-50``,
+``:103-128``).  Here the same parameter set is a real dataclass:
+{match, mismatch, gap, align-type chars, delimiter, ref_dir, in_dir,
+out_dir, out_name, out_ext}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoringScheme:
+    """Smith-Waterman scoring parameters.
+
+    Mirrors ``ALIGN_SCORES = {5,-3,-4}`` (match, mismatch, gap) and
+    ``ALIGN_TYPES = {'a','i','d','-'}`` (alignment, insertion, deletion,
+    none) from reference ``src/sw/Distribution.java:36-37``.  The gap
+    penalty is linear (no affine gaps), matching
+    ``src/sw/SmithWaterman.java:263-281``.
+    """
+
+    match: int = 5
+    mismatch: int = -3
+    gap: int = -4
+    # alignment-type characters: (alignment, insertion, deletion, none)
+    types: Tuple[str, str, str, str] = ("a", "i", "d", "-")
+    gap_char: str = "_"  # reference src/sw/SmithWaterman.java:356
+
+    def __post_init__(self):
+        if self.match <= 0:
+            raise ValueError("match score must be positive")
+        if self.gap >= 0 or self.mismatch >= 0:
+            raise ValueError("gap and mismatch scores must be negative")
+
+    @property
+    def align_scores(self) -> Tuple[int, int, int]:
+        return (self.match, self.mismatch, self.gap)
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """End-to-end pipeline configuration.
+
+    IO defaults mirror reference ``src/sw/Distribution.java:40-50``
+    (paths are required here instead of hardcoded AWS paths).
+    """
+
+    ref_dir: str
+    in_dir: str
+    out_dir: str
+    out_name: str = "result"  # OUT_FILE, Distribution.java:40
+    out_ext: str = ".txt"  # OUT_EXT, Distribution.java:41
+    delimiter: str = ">gi"  # DELIMITER, Distribution.java:46
+    scoring: ScoringScheme = dataclasses.field(default_factory=ScoringScheme)
+
+    # Engine knobs (no equivalent in the reference; TPU-native additions).
+    strategy: str = "batch"  # serial | batch | shard_refs | shard_reads
+    read_bucket: int = 128  # pad reads up to multiples of this
+    ref_bucket: int = 256  # pad refs up to multiples of this
+    max_pairs_per_call: int = 1 << 14  # chunk the (read, ref) pair grid

@@ -1,0 +1,91 @@
+"""The directory pipeline: crawl inputs, score against the reference set,
+reduce to the best-matching reference(s), write reports.
+
+TPU-native re-design of the reference's strategy drivers
+(``src/sw/Distribution.java:63-213`` DistributeAlgorithm,
+``:227-373`` DistributeReference, ``:482-634`` NoDistribution): all three
+share this driver; only the backend differs.
+
+Reduction semantics (parity, with one documented intent-fix):
+
+- The running max over references uses ``>`` to replace and ``==`` to
+  append (``Distribution.java:601-613``), so the final winner set is every
+  reference whose total equals the global max, in encounter order.
+- ``DistributeReference`` in the reference reads ``first()`` of an
+  *unsorted* RDD (``Distribution.java:341-342``; the ``sortByKey`` result
+  is discarded), which can pick a non-optimal reference.  SURVEY.md §3.2
+  documents this as a defect; we implement the intent (true max), which
+  also matches the serial control.
+- The winner list is sorted by reference metadata before reporting
+  (``OptSeqsComp``, ``Distribution.java:647-665``; Python's stable sort
+  matches ``Collections.sort``).
+- Execution time covers reference parsing + scoring + traceback, not
+  report formatting (``Distribution.java:567,620``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Tuple
+
+from sparksmithwaterman_tpu.config import AlignConfig
+from sparksmithwaterman_tpu.io import get_reads, get_ref_seqs, iter_files
+from sparksmithwaterman_tpu.io.report import OptEntry, build_report, write_str_to_file
+from sparksmithwaterman_tpu.models.aligner import get_backend
+
+
+def run_pipeline(config: AlignConfig, backend=None) -> List[str]:
+    """Run the full comparison for every input file; return report paths."""
+    if backend is None:
+        backend = get_backend(config)
+
+    out_paths: List[str] = []
+    input_num = 0
+    for in_file in iter_files(config.in_dir):
+        input_num += 1
+        reads = get_reads(in_file, config.delimiter)
+
+        t0 = time.monotonic()
+        num_refs = 0
+        global_max = 0
+        # Winner refs in encounter order: (metadata, sequence).
+        winners: List[Tuple[str, str]] = []
+
+        # Stream reference files (the reference streams too,
+        # Distribution.java:578-616); totals are computed per file batch.
+        for ref_file in iter_files(config.ref_dir):
+            ref_seqs = get_ref_seqs(ref_file, config.delimiter)
+            num_refs += len(ref_seqs)
+            totals = backend.totals(reads, [seq for _, seq in ref_seqs])
+            for (metadata, seq), total in zip(ref_seqs, totals):
+                total = int(total)
+                if total > global_max:
+                    global_max = total
+                    winners = [(metadata, seq)]
+                elif total == global_max:
+                    winners.append((metadata, seq))
+
+        # Traceback pass: only the winning references (the reference
+        # computes these inline per pair; the result set is identical).
+        opt: List[OptEntry] = [
+            ((metadata, seq), backend.sites_for_ref(seq, reads))
+            for metadata, seq in winners
+        ]
+        exec_ms = int((time.monotonic() - t0) * 1000)
+
+        opt.sort(key=lambda entry: entry[0][0])
+        report = build_report(
+            reads=reads,
+            num_refs=num_refs,
+            num_reads=len(reads),
+            max_score=global_max,
+            exec_time_ms=exec_ms,
+            opt=opt,
+        )
+        out_path = os.path.join(
+            config.out_dir, f"{config.out_name}{input_num}{config.out_ext}"
+        )
+        write_str_to_file(out_path, report)
+        out_paths.append(out_path)
+    return out_paths

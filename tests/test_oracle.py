@@ -1,0 +1,155 @@
+"""Oracle unit tests: hand-worked matrices + self-consistency properties.
+
+The hand-worked cases were computed manually from the reference semantics
+(SmithWaterman.java:198-252 candidate order, :354-436 traceback).
+"""
+
+import numpy as np
+import pytest
+
+from sparksmithwaterman_tpu.config import ScoringScheme
+from sparksmithwaterman_tpu.core import oracle
+
+
+def test_hand_worked_simple():
+    # ref="ACGT", read="CG", default scoring (5, -3, -4).
+    scores, dirs, max_score, max_cells = oracle.fill_matrices("ACGT", "CG")
+    expected_scores = np.array(
+        [
+            [0, 0, 0, 0, 0],
+            [0, 0, 5, 1, 0],
+            [0, 0, 1, 10, 6],
+        ]
+    )
+    np.testing.assert_array_equal(scores, expected_scores)
+    assert max_score == 10
+    assert max_cells == [(2, 3)]
+    # dirs: (1,2)='a', (1,3)='d', (2,2)='i', (2,3)='a', (2,4)='d'
+    assert dirs[1, 2] == oracle.DIR_ALIGN
+    assert dirs[1, 3] == oracle.DIR_DEL
+    assert dirs[2, 2] == oracle.DIR_INS
+    assert dirs[2, 3] == oracle.DIR_ALIGN
+    assert dirs[2, 4] == oracle.DIR_DEL
+
+    score, sites = oracle.opt_alignments("ACGT", "CG")
+    assert score == 10
+    assert sites == [(2, ("CG", "CG"))]
+
+
+def test_zero_overwrite_quirk():
+    # With match=4, gap=-4: cell (1,2) has deletion candidate 4-4=0 which
+    # overwrites '-' (>= comparison), even though the score stays 0.
+    scheme = ScoringScheme(match=4, mismatch=-3, gap=-4)
+    scores, dirs, max_score, max_cells = oracle.fill_matrices("AC", "A", scheme)
+    assert scores[1, 1] == 4 and dirs[1, 1] == oracle.DIR_ALIGN
+    assert scores[1, 2] == 0 and dirs[1, 2] == oracle.DIR_DEL
+    assert max_score == 4
+    assert max_cells == [(1, 1)]
+
+
+def test_tie_priority_alignment_wins():
+    # Construct a tie between alignment and deletion candidates:
+    # ref="AA", read="A", match=4, gap=-4:
+    # cell (1,2): d = H[1,1]+gap = 0, a = H[0,1]+4 = 4 -> 'a' wins outright.
+    # For a genuine tie use match=1, gap=-1, ref="AA", read="A":
+    # (1,1): a=1 'a'.  (1,2): d = 1-1 = 0; ins = -1; a = 0+1 = 1 -> a == 1
+    # beats d? d=0 < a=1.  Tie needs equal values:
+    # match=2, gap=-1, ref="AAA", read="AA":
+    # (1,1)=2a, (1,2): d=1d, a=2a -> 2a. (1,3): d=1, a=2 -> 2a.
+    # (2,2): d? H[2,1]: d=H[2,0]-1=-1, ins=H[1,1]-1=1 'i', a=H[1,0]+2=2 'a' -> 2a
+    # (2,2): d=H[2,1]-1=1; ins=H[1,2]-1=1; a=H[1,1]+2=4 -> 'a'.
+    # (2,3): d=H[2,2]-1=3; ins=H[1,3]-1=1; a=H[1,2]+2=4 -> 'a' (4>3).
+    # Simplest true tie: gap=-2, match=2, ref="AA", read="AA":
+    # (1,1)=2a; (1,2): d=0,ins=-2,a=2 -> 2a; (2,1): ins=0, a=2 -> 2a;
+    # (2,2): d=0, ins=0, a=H[1,1]+2=4 -> 4a.
+    # Use mismatch path: ref="AB", read="B", match=2, mismatch=-2, gap=-2:
+    # (1,1): a=-2, others neg -> 0 '-'; (1,2): d=-2, ins=-2, a=0+2=2 'a'.
+    # Tie between ins and del: ref="A", read="A" then extend... rely on
+    # direct candidate check instead:
+    scheme = ScoringScheme(match=2, mismatch=-1, gap=-1)
+    # ref="AA", read="A": (1,2): d = H[1,1]+(-1) = 1 ; a = H[0,1]+2 = 2 -> a
+    # ref="A", read="AA": (2,1): ins = H[1,1]-1 = 1 ; a = H[1,0]+2 = 2 -> a
+    # Construct d == i == a tie: scores H[i][j-1]=H[i-1][j]=x and
+    # H[i-1][j-1]+match == x-1:
+    # ref="AA", read="AA", match=2, gap=-1:
+    # (1,1)=2a, (1,2): d=1, a=2 -> 2a; (2,1): ins=1, a=2 -> 2a;
+    # (2,2): d=2-1=1, ins=2-1=1, a=2+2=4 -> 4a.
+    # Genuine 3-way tie at (2,2) requires a == 1 == d == ins: impossible
+    # with these values; test i-vs-d tie instead with mismatch center:
+    # ref="AB", read="BA", match=2, mismatch=-9, gap=-1:
+    # (1,1): a=-9,d=-1,i=-1 -> 0'-'; (1,2): a=0+2=2 'a';
+    # (2,1): a=0+2=2 'a'; (2,2): d=H[2,1]-1=1; ins=H[1,2]-1=1;
+    # a=H[1,1]-9=-9 -> tie d=1, i=1 -> insertion wins (evaluated after d).
+    scheme = ScoringScheme(match=2, mismatch=-9, gap=-1)
+    scores, dirs, _, _ = oracle.fill_matrices("AB", "BA", scheme)
+    assert scores[2, 2] == 1
+    assert dirs[2, 2] == oracle.DIR_INS  # insertion beats deletion on ties
+
+
+def test_degenerate_all_mismatch():
+    # No shared characters: max stays 0, every cell is a max cell, each
+    # with an empty traceback and beginning 0 (SmithWaterman.java:152-185).
+    score, sites = oracle.opt_alignments("AC", "G")
+    assert score == 0
+    assert sites == [(0, ("", "")), (0, ("", ""))]
+
+
+def test_empty_read():
+    # An empty read yields no cells: max score 0, no sites.
+    score, sites = oracle.opt_alignments("ACGT", "")
+    assert score == 0
+    assert sites == []
+
+
+def test_case_insensitive():
+    s1, sites1 = oracle.opt_alignments("acgt", "CG")
+    s2, sites2 = oracle.opt_alignments("ACGT", "cg")
+    assert s1 == s2 == 10
+    # Aligned strings echo the original case of each sequence.
+    assert sites1[0][1] == ("cg", "CG")
+    assert sites2[0][1] == ("CG", "cg")
+
+
+def _recompute_alignment_score(aligned_ref, aligned_read, scheme):
+    total = 0
+    for r, q in zip(aligned_ref, aligned_read):
+        if r == "_" or q == "_":
+            total += scheme.gap
+        elif r.upper() == q.upper():
+            total += scheme.match
+        else:
+            total += scheme.mismatch
+    return total
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_property_alignment_score_consistent(make_seq, trial):
+    scheme = ScoringScheme()
+    ref = make_seq(40)
+    read = make_seq(12)
+    score, sites = oracle.opt_alignments(ref, read, scheme)
+    if score == 0:
+        return
+    for beginning, (aref, aread) in sites:
+        assert len(aref) == len(aread)
+        assert _recompute_alignment_score(aref, aread, scheme) == score
+        # The ref side (gaps removed) is the contiguous slice of ref
+        # starting at `beginning` (1-based).
+        stripped = aref.replace("_", "")
+        assert ref[beginning - 1 : beginning - 1 + len(stripped)] == stripped
+        # The read side (gaps removed) is a contiguous substring of read.
+        assert sites is not None and stripped or True
+        assert aread.replace("_", "") in read
+
+
+def test_property_max_cells_rowmajor(make_seq):
+    ref = make_seq(30)
+    read = make_seq(10)
+    scores, _, max_score, max_cells = oracle.fill_matrices(ref, read)
+    expected = [
+        (i, j)
+        for i in range(1, len(read) + 1)
+        for j in range(1, len(ref) + 1)
+        if scores[i, j] == max_score
+    ]
+    assert max_cells == expected

@@ -1,0 +1,97 @@
+"""End-to-end pipeline tests with the serial (oracle) backend."""
+
+import re
+
+import pytest
+
+from sparksmithwaterman_tpu.config import AlignConfig
+from sparksmithwaterman_tpu.models.pipeline import run_pipeline
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path):
+    ref_dir = tmp_path / "refs"
+    in_dir = tmp_path / "inputs"
+    out_dir = tmp_path / "out"
+    ref_dir.mkdir()
+    in_dir.mkdir()
+    (ref_dir / "ref1.rna.fna").write_text(
+        ">gi|1|alpha\nAACGTACGTTT\n>gi|2|beta\nGGGGGGGG\n"
+    )
+    (ref_dir / "ref2.rna.fna").write_text(">gi|3|gamma\nTTACGTACGTAA\n")
+    (in_dir / "input1.fa").write_text("ACGTACGT\nCGTA\n")
+    return ref_dir, in_dir, out_dir
+
+
+def _config(ref_dir, in_dir, out_dir, **kw):
+    return AlignConfig(
+        ref_dir=str(ref_dir), in_dir=str(in_dir), out_dir=str(out_dir), **kw
+    )
+
+
+def test_serial_pipeline_report(tiny_dataset, tmp_path):
+    ref_dir, in_dir, out_dir = tiny_dataset
+    paths = run_pipeline(_config(ref_dir, in_dir, out_dir, strategy="serial"))
+    assert len(paths) == 1
+    text = open(paths[0]).read()
+    assert "# Reference Sequences = 3" in text
+    assert "# Reads = 2" in text
+    assert "Input:\nACGTACGT\nCGTA\n" in text
+    # ACGTACGT aligns perfectly (8*5=40) inside alpha and gamma; CGTA gives
+    # 4*5=20 in both -> both tie at 60; beta scores much lower.
+    assert "Maximum alignment score = 60" in text
+    # Both winners appear, sorted by metadata.
+    assert text.index(">gi|1|alpha") < text.index(">gi|3|gamma")
+    assert ">gi|2|beta" not in text
+
+
+def test_winner_set_is_true_max(tmp_path):
+    # DistributeReference's first()-of-unsorted-RDD defect is NOT
+    # reproduced: the winner must be the true max (SURVEY.md §3.2).
+    ref_dir = tmp_path / "refs"
+    in_dir = tmp_path / "inputs"
+    ref_dir.mkdir()
+    in_dir.mkdir()
+    # Best ref is in the middle of the file.
+    (ref_dir / "r.fna").write_text(
+        ">gi|a\nTTTT\n>gi|b\nACGTACGT\n>gi|c\nGGGG\n"
+    )
+    (in_dir / "i.fa").write_text("ACGTACGT\n")
+    paths = run_pipeline(
+        _config(ref_dir, in_dir, tmp_path / "out", strategy="serial")
+    )
+    text = open(paths[0]).read()
+    assert "Maximum alignment score = 40" in text
+    assert ">gi|b" in text and ">gi|a" not in text and ">gi|c" not in text
+
+
+def test_multiple_input_files_numbered(tmp_path):
+    ref_dir = tmp_path / "refs"
+    in_dir = tmp_path / "inputs"
+    ref_dir.mkdir()
+    in_dir.mkdir()
+    (ref_dir / "r.fna").write_text(">gi|x\nACGT\n")
+    (in_dir / "a.fa").write_text("ACGT\n")
+    (in_dir / "b.fa").write_text("AC\n")
+    paths = run_pipeline(
+        _config(ref_dir, in_dir, tmp_path / "out", strategy="serial")
+    )
+    assert [p.split("/")[-1] for p in paths] == ["result1.txt", "result2.txt"]
+
+
+def test_sites_sorted_by_index(tmp_path):
+    ref_dir = tmp_path / "refs"
+    in_dir = tmp_path / "inputs"
+    ref_dir.mkdir()
+    in_dir.mkdir()
+    # Two reads hitting the same ref at different positions; the merged
+    # site list must be sorted by beginning index.
+    (ref_dir / "r.fna").write_text(">gi|x\nCCCCACGTCCCCTTTT\n")
+    (in_dir / "i.fa").write_text("TTTT\nACGT\n")
+    paths = run_pipeline(
+        _config(ref_dir, in_dir, tmp_path / "out", strategy="serial")
+    )
+    text = open(paths[0]).read()
+    indices = [int(m) for m in re.findall(r"Index = (\d+)", text)]
+    assert indices == sorted(indices)
+    assert indices == [5, 13]
