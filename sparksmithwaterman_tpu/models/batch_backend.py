@@ -1,0 +1,106 @@
+"""Single-device batched backend: the TPU-native "NoDistribution".
+
+Where the reference's control path runs a triple-nested host loop over
+(ref file x ref x read) with one serial matrix fill per pair
+(``src/sw/Distribution.java:578-616``), this backend:
+
+- buckets reads and references by padded length (SURVEY.md §7 hard part
+  (c): variable-length batching without wasted FLOPs),
+- scores all (read, ref) combinations of a bucket pair in one
+  ``score_grid`` call on device (O(N) memory per pair, no traceback
+  state), and
+- runs the O(M·N)-memory ``fill_pairs`` + traceback only for winning
+  references (the reference computes tracebacks for every pair and then
+  discards the losers; the surviving result set is identical).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
+from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+from sparksmithwaterman_tpu.io.report import Site
+from sparksmithwaterman_tpu.ops import fill_pairs, score_grid, sites_from_fill
+
+# Element budget for the (R, C, N) DP state of one score_grid call and the
+# (B, M, N) fill of one traceback call (int32 words).
+_SCORE_BUDGET = 1 << 24
+_FILL_BUDGET = 1 << 24
+
+
+def _pad_len(n: int, bucket: int) -> int:
+    return max(bucket, -(-n // bucket) * bucket)
+
+
+def _group_by_padded_len(
+    seqs: Sequence[str], bucket: int
+) -> Dict[int, List[int]]:
+    groups: Dict[int, List[int]] = {}
+    for idx, s in enumerate(seqs):
+        groups.setdefault(_pad_len(len(s), bucket), []).append(idx)
+    return groups
+
+
+class BatchBackend:
+    """Vectorized single-host backend (works on TPU, CPU, any JAX device)."""
+
+    def __init__(self, config: AlignConfig):
+        self.scoring: ScoringScheme = config.scoring
+        self.read_bucket = config.read_bucket
+        self.ref_bucket = config.ref_bucket
+        self._params = tuple(
+            np.int32(v) for v in (self.scoring.match, self.scoring.mismatch, self.scoring.gap)
+        )
+
+    # -- hot path ---------------------------------------------------------
+
+    def totals(self, reads: Sequence[str], ref_seqs: Sequence[str]) -> np.ndarray:
+        totals = np.zeros(len(ref_seqs), dtype=np.int64)
+        if not reads or not ref_seqs:
+            return totals
+        read_groups = _group_by_padded_len(reads, self.read_bucket)
+        ref_groups = _group_by_padded_len(ref_seqs, self.ref_bucket)
+        for n_pad, ref_idx in sorted(ref_groups.items()):
+            for m_pad, read_idx in sorted(read_groups.items()):
+                r = len(read_idx)
+                reads_enc = encode_batch([reads[i] for i in read_idx], m_pad, READ_PAD)
+                c_block = max(1, min(len(ref_idx), _SCORE_BUDGET // max(1, r * n_pad)))
+                for start in range(0, len(ref_idx), c_block):
+                    chunk = ref_idx[start : start + c_block]
+                    refs_enc = encode_batch(
+                        [ref_seqs[i] for i in chunk], n_pad, REF_PAD
+                    )
+                    scores = np.asarray(
+                        score_grid(reads_enc, refs_enc, *self._params)
+                    )
+                    totals[chunk] += scores.sum(axis=0, dtype=np.int64)
+        return totals
+
+    # -- traceback path ----------------------------------------------------
+
+    def sites_for_ref(self, ref_seq: str, reads: Sequence[str]) -> List[Site]:
+        per_read: List[List[Site]] = [[] for _ in reads]
+        if not reads:
+            return []
+        n_pad = _pad_len(len(ref_seq), self.ref_bucket) if ref_seq else self.ref_bucket
+        read_groups = _group_by_padded_len(reads, self.read_bucket)
+        for m_pad, read_idx in sorted(read_groups.items()):
+            b_block = max(1, _FILL_BUDGET // max(1, m_pad * n_pad))
+            for start in range(0, len(read_idx), b_block):
+                chunk = read_idx[start : start + b_block]
+                reads_enc = encode_batch([reads[i] for i in chunk], m_pad, READ_PAD)
+                refs_enc = encode_batch([ref_seq] * len(chunk), n_pad, REF_PAD)
+                h, dirs = fill_pairs(reads_enc, refs_enc, *self._params)
+                h, dirs = np.asarray(h), np.asarray(dirs)
+                for k, ridx in enumerate(chunk):
+                    per_read[ridx] = sites_from_fill(
+                        h[k], dirs[k], ref_seq, reads[ridx], self.scoring.gap_char
+                    )
+        merged: List[Site] = []
+        for sites in per_read:  # read order (Distribution.java:589-597)
+            merged.extend(sites)
+        merged.sort(key=lambda s: s[0])  # stable MatchSiteComp sort
+        return merged

@@ -1,0 +1,121 @@
+"""Parity tests: JAX batched DP vs the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
+from sparksmithwaterman_tpu.core import oracle
+from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+from sparksmithwaterman_tpu.ops import fill_pairs, score_grid, score_pairs, sites_from_fill
+
+PARAMS = (np.int32(5), np.int32(-3), np.int32(-4))
+
+
+def _pairs(refs, reads, m_pad, n_pad):
+    return (
+        encode_batch(reads, m_pad, READ_PAD),
+        encode_batch(refs, n_pad, REF_PAD),
+    )
+
+
+def test_score_pairs_matches_oracle(make_seq):
+    reads = [make_seq(12) for _ in range(6)] + ["", make_seq(3)]
+    refs = [make_seq(40) for _ in range(8)]
+    reads_enc, refs_enc = _pairs(refs, reads, 16, 48)
+    got = np.asarray(score_pairs(reads_enc, refs_enc, *PARAMS))
+    want = [
+        oracle.opt_alignments(ref, read)[0] for ref, read in zip(refs, reads)
+    ]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_score_grid_matches_oracle(make_seq):
+    reads = [make_seq(10) for _ in range(4)]
+    refs = [make_seq(30) for _ in range(5)]
+    reads_enc = encode_batch(reads, 16, READ_PAD)
+    refs_enc = encode_batch(refs, 32, REF_PAD)
+    got = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS))
+    for r, read in enumerate(reads):
+        for c, ref in enumerate(refs):
+            assert got[r, c] == oracle.opt_alignments(ref, read)[0]
+
+
+def test_fill_pairs_matches_oracle_matrices(make_seq):
+    reads = [make_seq(8) for _ in range(3)]
+    refs = [make_seq(20) for _ in range(3)]
+    reads_enc, refs_enc = _pairs(refs, reads, 8, 24)
+    h, dirs = fill_pairs(reads_enc, refs_enc, *PARAMS)
+    h, dirs = np.asarray(h), np.asarray(dirs)
+    for b, (ref, read) in enumerate(zip(refs, reads)):
+        scores_o, dirs_o, _, _ = oracle.fill_matrices(ref, read)
+        m, n = len(read), len(ref)
+        np.testing.assert_array_equal(h[b, :m, :n], scores_o[1:, 1:])
+        # Effective dirs: oracle raw dirs masked at zero-score cells.
+        eff_o = np.where(scores_o[1:, 1:] > 0, dirs_o[1:, 1:], 0)
+        np.testing.assert_array_equal(dirs[b, :m, :n], eff_o)
+
+
+@pytest.mark.parametrize(
+    "scheme",
+    [
+        ScoringScheme(),
+        ScoringScheme(match=2, mismatch=-1, gap=-1),
+        ScoringScheme(match=4, mismatch=-3, gap=-4),  # zero-overwrite quirk
+        ScoringScheme(match=9, mismatch=-5, gap=-2),
+    ],
+)
+def test_sites_match_oracle_across_schemes(make_seq, scheme):
+    params = tuple(np.int32(v) for v in scheme.align_scores)
+    for _ in range(5):
+        ref, read = make_seq(25), make_seq(9)
+        reads_enc, refs_enc = _pairs([ref], [read], 16, 32)
+        h, dirs = fill_pairs(reads_enc, refs_enc, *params)
+        got = sites_from_fill(
+            np.asarray(h)[0], np.asarray(dirs)[0], ref, read, scheme.gap_char
+        )
+        _, want = oracle.opt_alignments(ref, read, scheme)
+        assert got == want
+
+
+def test_degenerate_all_zero_sites(make_seq):
+    ref, read = "CCCC", "GG"  # no shared chars
+    reads_enc, refs_enc = _pairs([ref], [read], 8, 8)
+    h, dirs = fill_pairs(reads_enc, refs_enc, *PARAMS)
+    got = sites_from_fill(np.asarray(h)[0], np.asarray(dirs)[0], ref, read)
+    _, want = oracle.opt_alignments(ref, read)
+    assert got == want == [(0, ("", ""))] * 8
+
+
+def test_batch_backend_pipeline_matches_serial(tmp_path, make_seq):
+    from sparksmithwaterman_tpu.models.pipeline import run_pipeline
+
+    ref_dir, in_dir = tmp_path / "refs", tmp_path / "inputs"
+    ref_dir.mkdir(), in_dir.mkdir()
+    rng = np.random.default_rng(7)
+    # Multi-file ref set with varied lengths, incl. a planted match.
+    planted = make_seq(60)
+    refs1 = [make_seq(int(n)) for n in rng.integers(20, 90, size=5)]
+    (ref_dir / "r1.fna").write_text(
+        "".join(f">gi|a{i}\n{s}\n" for i, s in enumerate(refs1))
+    )
+    (ref_dir / "r2.fna").write_text(f">gi|planted\n{planted}\n")
+    reads = [planted[10:30], make_seq(7), planted[40:55]]
+    (in_dir / "i1.fa").write_text("".join(r + "\n" for r in reads))
+
+    def run(strategy, out):
+        cfg = AlignConfig(
+            ref_dir=str(ref_dir),
+            in_dir=str(in_dir),
+            out_dir=str(tmp_path / out),
+            strategy=strategy,
+            read_bucket=16,
+            ref_bucket=32,
+        )
+        paths = run_pipeline(cfg)
+        text = open(paths[0]).read()
+        # Drop the timing line, which legitimately differs.
+        return "\n".join(
+            l for l in text.splitlines() if not l.startswith("Execution Time")
+        )
+
+    assert run("batch", "out_batch") == run("serial", "out_serial")
