@@ -20,10 +20,13 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+import jax
+
 from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
 from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
 from sparksmithwaterman_tpu.io.report import Site
 from sparksmithwaterman_tpu.ops import fill_pairs, score_grid, sites_from_fill
+from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid
 
 # Element budget for the (R, C, N) DP state of one score_grid call and the
 # (B, M, N) fill of one traceback call (int32 words).
@@ -51,9 +54,29 @@ class BatchBackend:
         self.scoring: ScoringScheme = config.scoring
         self.read_bucket = config.read_bucket
         self.ref_bucket = config.ref_bucket
+        self.read_block = config.read_block
+        # The Pallas kernel runs compiled on TPU; elsewhere (CPU tests)
+        # the lax implementation is the fast path.
+        self.use_pallas = config.use_pallas and jax.default_backend() == "tpu"
         self._params = tuple(
             np.int32(v) for v in (self.scoring.match, self.scoring.mismatch, self.scoring.gap)
         )
+
+    def _score_grid(self, reads_enc: np.ndarray, refs_enc: np.ndarray) -> np.ndarray:
+        """(R, C) score grid; dispatches to the Pallas kernel on TPU."""
+        if not self.use_pallas:
+            return np.asarray(score_grid(reads_enc, refs_enc, *self._params))
+        r = reads_enc.shape[0]
+        r_pad = -(-r // self.read_block) * self.read_block
+        if r_pad != r:
+            pad = np.full((r_pad - r, reads_enc.shape[1]), READ_PAD, np.uint8)
+            reads_enc = np.concatenate([reads_enc, pad], axis=0)
+        scores = np.asarray(
+            pallas_score_grid(
+                reads_enc, refs_enc, *self._params, read_block=self.read_block
+            )
+        )
+        return scores[:r]
 
     # -- hot path ---------------------------------------------------------
 
@@ -73,9 +96,7 @@ class BatchBackend:
                     refs_enc = encode_batch(
                         [ref_seqs[i] for i in chunk], n_pad, REF_PAD
                     )
-                    scores = np.asarray(
-                        score_grid(reads_enc, refs_enc, *self._params)
-                    )
+                    scores = self._score_grid(reads_enc, refs_enc)
                     totals[chunk] += scores.sum(axis=0, dtype=np.int64)
         return totals
 

@@ -1,0 +1,162 @@
+"""Pallas TPU kernel for the Smith-Waterman score pass.
+
+This is the performance-critical DP fill as a real on-device Mosaic
+kernel (the TPU-native replacement for the reference's per-diagonal Spark
+jobs, ``src/sw/DistributedSW.java:192-245``).  Design:
+
+- Grid ``(C, R/RB)``: each program scores one reference row against a
+  block of RB reads.  The reference block is reused across the inner
+  read-block grid dimension (Mosaic revisits the same ref block, so the
+  HBM->VMEM copy is amortized).
+- DP state is two (RB, N) int32 registers/VMEM values carried through a
+  ``fori_loop`` over read positions — the anti-diagonal "broadcast to
+  S/E/SE neighbors" of the reference becomes lane-shifted vector reads.
+- The within-row W-dependency is the linear-gap prefix max
+  (see ops/recurrence.py), computed by log2(N) masked lane rolls.
+
+Padding contract: reads are 0-padded, refs 1-padded; pad codes match
+nothing and mismatch/gap are negative, so padded regions strictly decay
+and never affect the maximum (see ops/recurrence.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -(2**30)  # plain int: jnp scalars would be captured consts
+
+
+def _shift_right_fill(x, shift, fill):
+    """Shift x right along lanes by `shift`, filling vacated columns."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=x.ndim - 1)
+    rolled = pltpu.roll(x, shift=shift, axis=x.ndim - 1)
+    return jnp.where(col >= shift, rolled, fill)
+
+
+def _lane_cummax(x):
+    """Cumulative max along the last axis via log-doubling rolls."""
+    n = x.shape[-1]
+    shift = 1
+    while shift < n:
+        x = jnp.maximum(x, _shift_right_fill(x, shift, _NEG_INF))
+        shift *= 2
+    return x
+
+
+def _score_kernel(params_ref, reads_ref, refs_ref, out_ref):
+    """One program: scores RB reads against one reference sequence.
+
+    params_ref: (3,) int32 SMEM — (match, mismatch, gap)
+    reads_ref:  (RB, M) int32 VMEM
+    refs_ref:   (1, 1, N) int32 VMEM (leading dim = ref grid axis)
+    out_ref:    (1, R/RB, RB) int32 VMEM — the whole slab for this ref
+                stays resident across the inner (read-block) grid dim;
+                each program writes its own row.
+    """
+    match = params_ref[0]
+    mismatch = params_ref[1]
+    gap = params_ref[2]
+
+    rb, m = reads_ref.shape
+    n = refs_ref.shape[2]
+
+    ref_row = refs_ref[0, :, :]  # (1, N)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rb, n), dimension=1)
+    ramp = gap * col  # (RB, N)
+
+    reads_block = reads_ref[:]  # (RB, M), loaded once
+    read_lane = jax.lax.broadcasted_iota(jnp.int32, (rb, m), dimension=1)
+
+    def body(i, carry):
+        h_prev, best = carry
+        # Dynamic lane extraction via masked reduction: Mosaic cannot load
+        # a single dynamically-indexed lane column from VMEM.
+        read_c = jnp.sum(
+            jnp.where(read_lane == i, reads_block, 0), axis=1, keepdims=True
+        )  # (RB, 1)
+        sub = jnp.where(ref_row == read_c, match, mismatch)  # (RB, N)
+        nw = _shift_right_fill(h_prev, 1, 0)
+        a = nw + sub
+        ins = h_prev + gap
+        cand = jnp.maximum(jnp.maximum(a, ins), 0)
+        h = _lane_cummax(cand - ramp) + ramp
+        best = jnp.maximum(best, jnp.max(h, axis=1, keepdims=True))
+        return h, best
+
+    h0 = jnp.zeros((rb, n), jnp.int32)
+    best0 = jnp.zeros((rb, 1), jnp.int32)
+    _, best = jax.lax.fori_loop(0, m, body, (h0, best0))
+    out_ref[0, pl.program_id(1), :] = best[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("read_block", "interpret"))
+def pallas_score_grid(
+    reads,
+    refs,
+    match,
+    mismatch,
+    gap,
+    *,
+    read_block: int = 64,
+    interpret: bool = False,
+):
+    """Max SW score for every (read, ref) combination via the TPU kernel.
+
+    Args:
+      reads: (R, M) uint8, R a multiple of read_block.
+      refs:  (C, N) uint8.
+    Returns:
+      (R, C) int32 scores.
+    """
+    r, m = reads.shape
+    c, n = refs.shape
+    if r % read_block != 0:
+        raise ValueError(f"R={r} must be a multiple of read_block={read_block}")
+    params = jnp.stack(
+        [jnp.asarray(match, jnp.int32), jnp.asarray(mismatch, jnp.int32), jnp.asarray(gap, jnp.int32)]
+    )
+    reads_i = reads.astype(jnp.int32)
+    # 3-D shapes so the block's last two dims equal the array dims
+    # (Mosaic tiling constraint: last two block dims must be (8k, 128k)
+    # or match the array).
+    refs_i = refs.astype(jnp.int32)[:, None, :]  # (C, 1, N)
+
+    grid = (c, r // read_block)
+    out = pl.pallas_call(
+        _score_kernel,
+        out_shape=jax.ShapeDtypeStruct((c, r // read_block, read_block), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (read_block, m), lambda ci, ri: (ri, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, n), lambda ci, ri: (ci, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, r // read_block, read_block),
+            lambda ci, ri: (ci, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        cost_estimate=pl.CostEstimate(
+            # ~20 int ops per DP cell (shift/max/select chains).
+            flops=20 * r * m * c * n,
+            bytes_accessed=r * m + c * n + 4 * c * r,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(params, reads_i, refs_i)
+    return out.reshape(c, r).T  # (R, C)
+
+
+def default_interpret() -> bool:
+    """Pallas TPU kernels need interpret mode off-TPU (tests run on CPU)."""
+    return jax.default_backend() != "tpu"

@@ -1,0 +1,47 @@
+"""Pallas kernel parity tests (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from sparksmithwaterman_tpu.core import oracle
+from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid
+from sparksmithwaterman_tpu.ops.recurrence import score_grid
+
+PARAMS = (np.int32(5), np.int32(-3), np.int32(-4))
+
+
+def test_pallas_score_grid_matches_oracle(make_seq):
+    reads = [make_seq(12) for _ in range(7)] + [""]
+    refs = [make_seq(50) for _ in range(3)]
+    reads_enc = encode_batch(reads, 16, READ_PAD)
+    refs_enc = encode_batch(refs, 64, REF_PAD)
+    got = np.asarray(
+        pallas_score_grid(reads_enc, refs_enc, *PARAMS, read_block=8, interpret=True)
+    )
+    assert got.shape == (8, 3)
+    for r, read in enumerate(reads):
+        for c, ref in enumerate(refs):
+            assert got[r, c] == oracle.opt_alignments(ref, read)[0], (r, c)
+
+
+def test_pallas_matches_lax_reference(make_seq):
+    # Randomized cross-check against the lax implementation (which is
+    # itself oracle-checked in test_recurrence.py).  Sizes kept small:
+    # interpreter mode is slow.
+    reads = [make_seq(int(l)) for l in np.random.default_rng(3).integers(1, 24, 8)]
+    refs = [make_seq(int(l)) for l in np.random.default_rng(4).integers(8, 60, 3)]
+    reads_enc = encode_batch(reads, 24, READ_PAD)
+    refs_enc = encode_batch(refs, 64, REF_PAD)
+    got = np.asarray(
+        pallas_score_grid(reads_enc, refs_enc, *PARAMS, read_block=8, interpret=True)
+    )
+    want = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_rejects_bad_block():
+    reads_enc = encode_batch(["ACG"] * 6, 8, READ_PAD)
+    refs_enc = encode_batch(["ACGT"], 8, REF_PAD)
+    with pytest.raises(ValueError):
+        pallas_score_grid(reads_enc, refs_enc, *PARAMS, read_block=4, interpret=True)
