@@ -61,7 +61,10 @@ def _measure_oracle(reads, refs, params):
 
 
 def main():
+    from sparksmithwaterman_tpu.cli import enable_compile_cache
     from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+
+    enable_compile_cache()
 
     rng = np.random.default_rng(0)
     alphabet = np.array(list("ACGT"))

@@ -50,6 +50,12 @@ def _add_gen(sub):
         default=["read_num", "read_len", "ref_num", "ref_len"],
         choices=["read_num", "read_len", "ref_num", "ref_len"],
     )
+    p.add_argument(
+        "--scale",
+        type=float,
+        default=1.0,
+        help="shrink sweep sizes (1.0 = the reference's full corpus)",
+    )
 
 
 def _add_bench(sub):
@@ -65,7 +71,30 @@ def _add_bench(sub):
     )
 
 
+def enable_compile_cache() -> None:
+    """Persist XLA executables across processes.
+
+    Every distinct batch shape is a compile; on a remote-compile TPU
+    tunnel a cold Pallas compile costs minutes.  Shape quantization (see
+    models/batch_backend.py) bounds the shape set; this cache makes the
+    survivors one-time."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "SWTPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "swtpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def main(argv=None) -> int:
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="sparksmithwaterman_tpu",
         description="TPU-native Smith-Waterman alignment engine",
@@ -108,7 +137,7 @@ def main(argv=None) -> int:
     if args.command == "gen":
         from sparksmithwaterman_tpu.metrics import engineer_data
 
-        engineer_data.generate(args.out_dir, args.sweeps)
+        engineer_data.generate(args.out_dir, args.sweeps, scale=args.scale)
         print(args.out_dir)
         return 0
 

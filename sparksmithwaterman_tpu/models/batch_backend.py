@@ -38,6 +38,23 @@ def _pad_len(n: int, bucket: int) -> int:
     return max(bucket, -(-n // bucket) * bucket)
 
 
+def _quantize(n: int, base: int) -> int:
+    """Round up to base * 2^k — bounds the set of compiled batch shapes
+    logarithmically (every distinct shape is a fresh XLA compile; through
+    a remote-compile TPU tunnel that costs minutes)."""
+    q = base
+    while q < n:
+        q *= 2
+    return q
+
+
+def _pad_rows(arr: np.ndarray, rows: int, fill: int) -> np.ndarray:
+    if arr.shape[0] == rows:
+        return arr
+    pad = np.full((rows - arr.shape[0],) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
 def _group_by_padded_len(
     seqs: Sequence[str], bucket: int
 ) -> Dict[int, List[int]]:
@@ -63,20 +80,25 @@ class BatchBackend:
         )
 
     def _score_grid(self, reads_enc: np.ndarray, refs_enc: np.ndarray) -> np.ndarray:
-        """(R, C) score grid; dispatches to the Pallas kernel on TPU."""
-        if not self.use_pallas:
-            return np.asarray(score_grid(reads_enc, refs_enc, *self._params))
-        r = reads_enc.shape[0]
-        r_pad = -(-r // self.read_block) * self.read_block
-        if r_pad != r:
-            pad = np.full((r_pad - r, reads_enc.shape[1]), READ_PAD, np.uint8)
-            reads_enc = np.concatenate([reads_enc, pad], axis=0)
-        scores = np.asarray(
-            pallas_score_grid(
-                reads_enc, refs_enc, *self._params, read_block=self.read_block
+        """(R, C) score grid; dispatches to the Pallas kernel on TPU.
+
+        Both batch axes are quantized to base*2^k row counts (padding
+        rows score exactly 0 and are sliced off) so repeated calls with
+        ragged batch sizes reuse a small set of compiled programs.
+        """
+        r, c = reads_enc.shape[0], refs_enc.shape[0]
+        base_r = self.read_block if self.use_pallas else 8
+        reads_enc = _pad_rows(reads_enc, _quantize(r, base_r), READ_PAD)
+        refs_enc = _pad_rows(refs_enc, _quantize(c, 8), REF_PAD)
+        if self.use_pallas:
+            scores = np.asarray(
+                pallas_score_grid(
+                    reads_enc, refs_enc, *self._params, read_block=self.read_block
+                )
             )
-        )
-        return scores[:r]
+        else:
+            scores = np.asarray(score_grid(reads_enc, refs_enc, *self._params))
+        return scores[:r, :c]
 
     # -- hot path ---------------------------------------------------------
 
@@ -112,8 +134,13 @@ class BatchBackend:
             b_block = max(1, _FILL_BUDGET // max(1, m_pad * n_pad))
             for start in range(0, len(read_idx), b_block):
                 chunk = read_idx[start : start + b_block]
-                reads_enc = encode_batch([reads[i] for i in chunk], m_pad, READ_PAD)
-                refs_enc = encode_batch([ref_seq] * len(chunk), n_pad, REF_PAD)
+                b_q = _quantize(len(chunk), 8)  # stabilize compile shapes
+                reads_enc = _pad_rows(
+                    encode_batch([reads[i] for i in chunk], m_pad, READ_PAD),
+                    b_q,
+                    READ_PAD,
+                )
+                refs_enc = encode_batch([ref_seq] * b_q, n_pad, REF_PAD)
                 h, dirs = fill_pairs(reads_enc, refs_enc, *self._params)
                 h, dirs = np.asarray(h), np.asarray(dirs)
                 for k, ridx in enumerate(chunk):

@@ -151,9 +151,17 @@ class ShardedBackend(BatchBackend):
         self.use_pallas = False
 
     def _score_grid(self, reads_enc: np.ndarray, refs_enc: np.ndarray) -> np.ndarray:
+        from sparksmithwaterman_tpu.models.batch_backend import _pad_rows, _quantize
+
         r, c = reads_enc.shape[0], refs_enc.shape[0]
-        reads_p = _pad_axis0(reads_enc, self._dr, READ_PAD)
-        refs_p = _pad_axis0(refs_enc, self._dc, REF_PAD)
+        # Quantize row counts (compile-shape stability), then round up to
+        # mesh-axis multiples for even sharding.
+        reads_p = _pad_axis0(
+            _pad_rows(reads_enc, _quantize(r, 8), READ_PAD), self._dr, READ_PAD
+        )
+        refs_p = _pad_axis0(
+            _pad_rows(refs_enc, _quantize(c, 8), REF_PAD), self._dc, REF_PAD
+        )
         scores = np.asarray(
             sharded_score_grid(reads_p, refs_p, *self._params, mesh=self.mesh)
         )
