@@ -129,6 +129,24 @@ class BatchBackend:
         if not reads:
             return []
         n_pad = _pad_len(len(ref_seq), self.ref_bucket) if ref_seq else self.ref_bucket
+        # Long-reference mode: a single pair's fill would blow the budget;
+        # find max cells on device and re-fill only bounded windows
+        # (ops/longseq.py, BASELINE config 5).
+        max_m = max((len(r) for r in reads), default=0)
+        if max_m and n_pad * _pad_len(max_m, self.read_bucket) > _FILL_BUDGET:
+            from sparksmithwaterman_tpu.ops.longseq import sites_for_pair_long
+
+            for ridx, read in enumerate(reads):
+                per_read[ridx] = sites_for_pair_long(
+                    ref_seq, read, self._params,
+                    gap_char=self.scoring.gap_char,
+                    ref_bucket=self.ref_bucket,
+                )
+            merged: List[Site] = []
+            for sites in per_read:
+                merged.extend(sites)
+            merged.sort(key=lambda s: s[0])
+            return merged
         read_groups = _group_by_padded_len(reads, self.read_bucket)
         for m_pad, read_idx in sorted(read_groups.items()):
             b_block = max(1, _FILL_BUDGET // max(1, m_pad * n_pad))

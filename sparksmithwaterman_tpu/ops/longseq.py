@@ -1,0 +1,170 @@
+"""Long-reference mode: windowed traceback for 100kb+ references.
+
+The reference's only long-sequence mechanism is the wavefront
+decomposition with full O(m*n) score+align matrices
+(``src/sw/DistributedSW.java:83-84``) — ~2kb refs never stress it.  For
+100kb+ references (BASELINE config 5) materializing the traceback fill
+is wasteful: this module
+
+1. finds every maximum cell on device (``find_max_cells`` — H is
+   scanned row-wise, max cells extracted with a fixed-capacity argwhere),
+2. re-fills only a **window** of ref columns ending at each max cell
+   (``sites_for_pair_long``), and walks it with the native tracer.
+
+Window soundness: an alignment path with score >= 1 satisfies
+``5*matches - 3*mismatches - 4*gaps >= 1`` with ``matches <= m``, so the
+ref-column span ``matches + mismatches + deletions`` is < ``m + 5m/3 =
+8m/3``.  A window of ``ceil(8m/3) + 2`` columns therefore contains the
+whole path; the window's left boundary behaves exactly like a fresh
+matrix edge (H == 0 there, because any window wide enough has H decayed
+to 0 left of the path).  Windows are left-padded to one static width so
+every max cell reuses one compiled fill shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+from sparksmithwaterman_tpu.io.report import Site
+from sparksmithwaterman_tpu.ops.recurrence import _row_update, _sub_scores, fill_pairs
+from sparksmithwaterman_tpu.ops.traceback import sites_from_fill
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _max_cells_device(read_enc, ref_enc, match, mismatch, gap, capacity: int):
+    """(best, count, cells) for ONE pair; cells is (capacity, 2) int32
+    row-major (i, j) 0-based positions of H == best, -1-filled."""
+    n = ref_enc.shape[-1]
+    ramp = gap * jnp.arange(n, dtype=jnp.int32)
+    ref_i = ref_enc.astype(jnp.int32)[None, :]  # (1, N)
+
+    def body(h_prev, read_char):
+        sub = _sub_scores(ref_i, read_char[None, None].astype(jnp.int32), match, mismatch)
+        h, _, _ = _row_update(h_prev, sub, gap, ramp)
+        return h, h[0]
+
+    _, h_all = jax.lax.scan(body, jnp.zeros((1, n), jnp.int32), read_enc)
+    best = jnp.max(h_all)
+    cells = jnp.argwhere(h_all == best, size=capacity, fill_value=-1)
+    count = jnp.sum(h_all == best)
+    return best, count, cells.astype(jnp.int32)
+
+
+def find_max_cells(
+    read_seq: str, ref_seq: str, params, capacity: int = 1024
+) -> Tuple[int, np.ndarray]:
+    """All (i, j) max cells (0-based, row-major) of one pair.
+
+    Capacity doubles until every tie fits (ties beyond a handful are
+    rare on non-degenerate data).
+    """
+    m, n = len(read_seq), len(ref_seq)
+    read_enc = encode_batch([read_seq], m, READ_PAD)[0]
+    ref_enc = encode_batch([ref_seq], n, REF_PAD)[0]
+    while True:
+        best, count, cells = _max_cells_device(
+            read_enc, ref_enc, *params, capacity=capacity
+        )
+        best, count = int(best), int(count)
+        if count <= capacity:
+            cells = np.asarray(cells)[:count]
+            return best, cells
+        capacity *= 2
+
+
+def window_width(m: int, n: int) -> int:
+    """Static ref-column window provably containing any path of a
+    length-m read (see module docstring)."""
+    return min(n, (8 * m) // 3 + 2)
+
+
+def sites_for_pair_long(
+    ref_seq: str,
+    read_seq: str,
+    params,
+    gap_char: str = "_",
+    ref_bucket: int = 256,
+) -> List[Site]:
+    """All optimal sites of one (read, long-ref) pair without an O(m*n)
+    traceback fill.  Output order matches the oracle (row-major max-cell
+    discovery, ``SmithWaterman.java:176-185``)."""
+    m, n = len(read_seq), len(ref_seq)
+    if m == 0 or n == 0:
+        return []
+    best, cells = find_max_cells(read_seq, ref_seq, params)
+    if best == 0:
+        # Degenerate all-zero matrix: every cell "ties" (oracle parity).
+        return [(0, ("", ""))] * (m * n)
+
+    w = window_width(m, n)
+    w_pad = max(ref_bucket, -(-w // ref_bucket) * ref_bucket)
+    m_pad = len(read_seq)
+
+    # One window per max cell, left-padded to the static width (pad code
+    # REF_PAD matches nothing, so the padded prefix keeps H == 0 — the
+    # same boundary condition as a true matrix edge).  The batch axis is
+    # quantized so tie-count jitter reuses one compiled fill.
+    k = cells.shape[0]
+    k_q = 8
+    while k_q < k:
+        k_q *= 2
+    windows = np.full((k_q, w_pad), REF_PAD, np.uint8)
+    read_win = encode_batch([read_seq] * k_q, m_pad, READ_PAD)
+    ends = []
+    for t, (ci, cj) in enumerate(cells):
+        j = int(cj) + 1  # 1-based end column
+        j0 = max(0, j - w)
+        chunk = encode_batch([ref_seq[j0:j]], j - j0, REF_PAD)[0]
+        windows[t, w_pad - (j - j0) :] = chunk
+        ends.append(j)
+
+    h, dirs = fill_pairs(read_win, jnp.asarray(windows), *params)
+    h, dirs = np.asarray(h), np.asarray(dirs)
+
+    sites: List[Site] = []
+    for t, (ci, cj) in enumerate(cells):
+        j = ends[t]
+        i = int(ci) + 1
+        # The max cell sits at window column w_pad; window column c
+        # (1-based) maps to true ref column c + j - w_pad.  Ref chars are
+        # sliced from the ORIGINAL string so mixed-case input round-trips
+        # (the oracle emits raw chars; encode upper-cases for compare).
+        begin_w, aligned = _walk_window(
+            dirs[t], i, w_pad, ref_seq, j - w_pad, read_seq, gap_char
+        )
+        sites.append((begin_w + j - w_pad, aligned))
+    return sites
+
+
+def _walk_window(dirs, i, j, ref_seq, col_offset, read_seq, gap_char):
+    """Traceback inside a window whose column c is ref column
+    ``c + col_offset`` of the original sequence."""
+    beginning = 0
+    ref_parts: List[str] = []
+    read_parts: List[str] = []
+    while i > 0 and j > 0:
+        d = dirs[i - 1, j - 1]
+        if d == 0:
+            break
+        beginning = j
+        if d == 1:  # align
+            ref_parts.append(ref_seq[j + col_offset - 1])
+            read_parts.append(read_seq[i - 1])
+            i -= 1
+            j -= 1
+        elif d == 2:  # insertion
+            ref_parts.append(gap_char)
+            read_parts.append(read_seq[i - 1])
+            i -= 1
+        else:  # deletion
+            ref_parts.append(ref_seq[j + col_offset - 1])
+            read_parts.append(gap_char)
+            j -= 1
+    return beginning, ("".join(reversed(ref_parts)), "".join(reversed(read_parts)))

@@ -1,0 +1,79 @@
+"""Long-reference windowed-traceback parity tests."""
+
+import numpy as np
+import pytest
+
+from sparksmithwaterman_tpu.core import oracle
+from sparksmithwaterman_tpu.ops.longseq import (
+    find_max_cells,
+    sites_for_pair_long,
+    window_width,
+)
+
+PARAMS = (np.int32(5), np.int32(-3), np.int32(-4))
+
+
+def _embed(rng, ref_len, read, positions):
+    """Random ref with (mutated) copies of `read` planted at positions."""
+    ref = list("".join(rng.choice(list("ACGT"), size=ref_len)))
+    for p in positions:
+        ref[p : p + len(read)] = read
+    return "".join(ref)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_max_cells_match_oracle_matrix(make_seq, seed):
+    rng = np.random.default_rng(seed)
+    read = make_seq(int(rng.integers(3, 20)))
+    ref = make_seq(int(rng.integers(10, 120)))
+    best, cells = find_max_cells(read, ref, PARAMS)
+    h, _, max_score, _ = oracle.fill_matrices(ref, read)
+    h = h[1:, 1:]  # oracle keeps the boundary row/col
+    assert best == max_score == h.max()
+    want = np.argwhere(h == h.max())
+    np.testing.assert_array_equal(cells, want)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_long_sites_match_oracle(make_seq, seed):
+    rng = np.random.default_rng(100 + seed)
+    read = make_seq(12)
+    ref = _embed(rng, 600, read, [50, 400])
+    got = sites_for_pair_long(ref, read, PARAMS)
+    _, want = oracle.opt_alignments(ref, read)
+    assert got == want
+
+
+def test_long_sites_with_gapped_alignment(make_seq):
+    rng = np.random.default_rng(7)
+    read = "ACGTACGTTTACGT"
+    mutated = "ACGTACGTTACGT"  # one deletion
+    ref = _embed(rng, 2000, mutated, [777])
+    got = sites_for_pair_long(ref, read, PARAMS)
+    _, want = oracle.opt_alignments(ref, read)
+    assert got == want
+
+
+def test_window_width_bound():
+    assert window_width(12, 10_000) == 34
+    assert window_width(500, 200) == 200  # clamped to ref length
+
+
+def test_backend_long_path_matches_serial(make_seq):
+    # Force the long path with a ref big enough to trip the fill budget
+    # (budget is 1<<24 int32 words; 300 reads-bucket x 70k ref > budget).
+    from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
+    from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+    rng = np.random.default_rng(11)
+    read = make_seq(24)
+    ref = _embed(rng, 70_000, read, [1000, 35_000, 69_970])
+    config = AlignConfig(
+        ref_dir=".", in_dir=".", out_dir=".", read_bucket=256, ref_bucket=256
+    )
+    backend = BatchBackend(config)
+    got = backend.sites_for_ref(ref, [read, read[:10]])
+    _, s1 = oracle.opt_alignments(ref, read)
+    _, s2 = oracle.opt_alignments(ref, read[:10])
+    want = sorted(s1 + s2, key=lambda s: s[0])
+    assert got == want
