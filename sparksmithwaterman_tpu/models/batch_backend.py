@@ -26,7 +26,16 @@ from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
 from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
 from sparksmithwaterman_tpu.io.report import Site
 from sparksmithwaterman_tpu.ops import fill_pairs, score_grid, sites_from_fill
+from sparksmithwaterman_tpu.ops.device_traceback import (
+    fill_and_trace,
+    path_cap,
+    sites_from_trace,
+)
 from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid
+
+# Max-cell ties handled on device per pair; beyond this the pair falls
+# back to the host walk.
+_TRACE_CAPACITY = 64
 
 # Element budget for the (R, C, N) DP state of one score_grid call and the
 # (B, M, N) fill of one traceback call (int32 words).
@@ -159,12 +168,45 @@ class BatchBackend:
                     READ_PAD,
                 )
                 refs_enc = encode_batch([ref_seq] * b_q, n_pad, REF_PAD)
-                h, dirs = fill_pairs(reads_enc, refs_enc, *self._params)
-                h, dirs = np.asarray(h), np.asarray(dirs)
+                # On-device traceback: only (cells, begins, path codes)
+                # cross to the host.  Pairs whose tie count overflows the
+                # capacity fall back to the full-matrix host walk.
+                best, counts, cells, begins, codes = fill_and_trace(
+                    reads_enc,
+                    refs_enc,
+                    *self._params,
+                    capacity=_TRACE_CAPACITY,
+                    cap=path_cap(m_pad),
+                )
+                best, counts = np.asarray(best), np.asarray(counts)
+                cells, begins = np.asarray(cells), np.asarray(begins)
+                codes = np.asarray(codes)
+                overflow = [
+                    k
+                    for k in range(len(chunk))
+                    if best[k] > 0 and counts[k] > _TRACE_CAPACITY
+                ]
                 for k, ridx in enumerate(chunk):
-                    per_read[ridx] = sites_from_fill(
-                        h[k], dirs[k], ref_seq, reads[ridx], self.scoring.gap_char
+                    if k in overflow:
+                        continue
+                    per_read[ridx] = sites_from_trace(
+                        int(best[k]),
+                        int(counts[k]),
+                        cells[k],
+                        begins[k],
+                        codes[k],
+                        ref_seq,
+                        reads[ridx],
+                        self.scoring.gap_char,
                     )
+                if overflow:
+                    h, dirs = fill_pairs(reads_enc, refs_enc, *self._params)
+                    h, dirs = np.asarray(h), np.asarray(dirs)
+                    for k in overflow:
+                        ridx = chunk[k]
+                        per_read[ridx] = sites_from_fill(
+                            h[k], dirs[k], ref_seq, reads[ridx], self.scoring.gap_char
+                        )
         merged: List[Site] = []
         for sites in per_read:  # read order (Distribution.java:589-597)
             merged.extend(sites)
