@@ -32,6 +32,11 @@ def _add_align(sub):
         default="batch",
         choices=["serial", "batch", "wavefront", "shard_refs", "shard_reads"],
     )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip input files already completed per the out-dir journal",
+    )
 
 
 def _add_info(sub):
@@ -122,7 +127,7 @@ def main(argv=None) -> int:
             ),
             strategy=args.strategy,
         )
-        paths = run_pipeline(config)
+        paths = run_pipeline(config, resume=args.resume)
         for p in paths:
             print(p)
         return 0

@@ -32,6 +32,7 @@ from sparksmithwaterman_tpu.ops.device_traceback import (
     sites_from_trace,
 )
 from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid
+from sparksmithwaterman_tpu.utils.profiling import GcupsCounter
 
 # Max-cell ties handled on device per pair; beyond this the pair falls
 # back to the host walk.
@@ -87,6 +88,9 @@ class BatchBackend:
         self._params = tuple(
             np.int32(v) for v in (self.scoring.match, self.scoring.mismatch, self.scoring.gap)
         )
+        # DP-fill performance counter (real cells = sum |read|*|ref|,
+        # excluding padding — the honest GCUPS of SURVEY.md §5).
+        self.gcups = GcupsCounter()
 
     def _score_grid(self, reads_enc: np.ndarray, refs_enc: np.ndarray) -> np.ndarray:
         """(R, C) score grid; dispatches to the Pallas kernel on TPU.
@@ -127,7 +131,11 @@ class BatchBackend:
                     refs_enc = encode_batch(
                         [ref_seqs[i] for i in chunk], n_pad, REF_PAD
                     )
-                    scores = self._score_grid(reads_enc, refs_enc)
+                    real_cells = sum(len(reads[i]) for i in read_idx) * sum(
+                        len(ref_seqs[i]) for i in chunk
+                    )
+                    with self.gcups.measure(real_cells):
+                        scores = self._score_grid(reads_enc, refs_enc)
                     totals[chunk] += scores.sum(axis=0, dtype=np.int64)
         return totals
 

@@ -25,25 +25,69 @@ Reduction semantics (parity, with one documented intent-fix):
 
 from __future__ import annotations
 
+import json
 import os
 import time
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 from sparksmithwaterman_tpu.config import AlignConfig
 from sparksmithwaterman_tpu.io import get_reads, get_ref_seqs, iter_files
 from sparksmithwaterman_tpu.io.report import OptEntry, build_report, write_str_to_file
 from sparksmithwaterman_tpu.models.aligner import get_backend
 
+_JOURNAL = ".journal.jsonl"
 
-def run_pipeline(config: AlignConfig, backend=None) -> List[str]:
-    """Run the full comparison for every input file; return report paths."""
+
+def _journal_path(config: AlignConfig) -> str:
+    return os.path.join(config.out_dir, _JOURNAL)
+
+
+def _load_journal(config: AlignConfig) -> Dict[str, dict]:
+    """Completed input files from a previous run (checkpoint/resume —
+    the reference has none; its only resume granularity is the
+    one-report-per-input incremental write, SURVEY.md §5)."""
+    path = _journal_path(config)
+    done: Dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    entry = json.loads(line)
+                    done[entry["input"]] = entry
+    return done
+
+
+def _journal_append(config: AlignConfig, entry: dict) -> None:
+    path = _journal_path(config)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+def run_pipeline(config: AlignConfig, backend=None, resume: bool = False) -> List[str]:
+    """Run the full comparison for every input file; return report paths.
+
+    With ``resume=True``, input files already recorded in the out-dir
+    journal (same path + mtime) are skipped and their prior report paths
+    returned — idempotent restart after interruption.
+    """
     if backend is None:
         backend = get_backend(config)
+    done = _load_journal(config) if resume else {}
 
     out_paths: List[str] = []
     input_num = 0
     for in_file in iter_files(config.in_dir):
         input_num += 1
+        prior = done.get(in_file)
+        if (
+            prior
+            and prior.get("mtime") == os.path.getmtime(in_file)
+            and os.path.exists(prior["report"])
+        ):
+            out_paths.append(prior["report"])
+            continue
         reads = get_reads(in_file, config.delimiter)
 
         t0 = time.monotonic()
@@ -87,5 +131,15 @@ def run_pipeline(config: AlignConfig, backend=None) -> List[str]:
             config.out_dir, f"{config.out_name}{input_num}{config.out_ext}"
         )
         write_str_to_file(out_path, report)
+        _journal_append(
+            config,
+            {
+                "input": in_file,
+                "mtime": os.path.getmtime(in_file),
+                "report": out_path,
+                "max_score": global_max,
+                "exec_ms": exec_ms,
+            },
+        )
         out_paths.append(out_path)
     return out_paths
