@@ -1,0 +1,100 @@
+"""Multi-host layer tests (single-process path + manifest/merge logic)."""
+
+import numpy as np
+
+from sparksmithwaterman_tpu.config import AlignConfig
+from sparksmithwaterman_tpu.models.pipeline import run_pipeline
+from sparksmithwaterman_tpu.parallel.multihost import (
+    HostConfig,
+    run_multihost_pipeline,
+    shard_manifest,
+)
+
+
+def test_shard_manifest_partition():
+    files = [f"f{i}" for i in range(10)]
+    shards = [shard_manifest(files, 3, h) for h in range(3)]
+    seen = sorted(idx for shard in shards for idx, _ in shard)
+    assert seen == list(range(10))
+    assert shard_manifest(files, 3, 0) == [(0, "f0"), (3, "f3"), (6, "f6"), (9, "f9")]
+
+
+def test_single_process_matches_pipeline(tmp_path):
+    refs = tmp_path / "refs"
+    inputs = tmp_path / "in"
+    refs.mkdir(), inputs.mkdir()
+    (refs / "ref1.rna.fna").write_text(">gi|1|alpha\nAACGTACGTTT\n>gi|2|beta\nGGGGGGGG\n")
+    (refs / "ref2.rna.fna").write_text(">gi|3|gamma\nTTACGTACGTAA\n")
+    (inputs / "input1.fa").write_text("ACGTACGT\nCGTA\n")
+
+    base = dict(
+        ref_dir=str(refs), in_dir=str(inputs), strategy="batch",
+        read_bucket=8, ref_bucket=16,
+    )
+    mh_paths = run_multihost_pipeline(
+        AlignConfig(out_dir=str(tmp_path / "mh"), **base), HostConfig()
+    )
+    sp_paths = run_pipeline(AlignConfig(out_dir=str(tmp_path / "sp"), **base))
+
+    def strip(path):
+        return [l for l in open(path).read().splitlines() if "Execution Time" not in l]
+
+    assert strip(mh_paths[0]) == strip(sp_paths[0])
+
+
+def test_simulated_two_host_merge(tmp_path, make_seq):
+    """Simulate two hosts sharing a filesystem by running the pipeline
+    once per host id; host 1 first (writes candidates only), host 0
+    second (assembles the final report)."""
+    refs = tmp_path / "refs"
+    inputs = tmp_path / "in"
+    refs.mkdir(), inputs.mkdir()
+    read = "ACGTACGTAACC"
+    # Winner lives in file 2 -> host 1's shard; host 0 must still write
+    # the correct global report.
+    (refs / "ref1.rna.fna").write_text(">gi|1|a\n" + make_seq(40) + "\n")
+    (refs / "ref2.rna.fna").write_text(">gi|2|b\nTT" + read + "GG\n")
+    (refs / "ref3.rna.fna").write_text(">gi|3|c\n" + make_seq(40) + "\n")
+    (inputs / "input1.fa").write_text(read + "\n")
+
+    base = dict(
+        ref_dir=str(refs), in_dir=str(inputs), out_dir=str(tmp_path / "out"),
+        strategy="batch", read_bucket=16, ref_bucket=64,
+    )
+    config = AlignConfig(**base)
+
+    class FakeHost(HostConfig):
+        pass
+
+    # Monkeypatch-free simulation: num_processes=2 but barrier/allgather
+    # must be crossed manually — instead run each "host" with
+    # single-process collectives replaced by the shared out-dir files.
+    import sparksmithwaterman_tpu.parallel.multihost as mh
+
+    gathered = {}
+    orig_allgather = mh._allgather_best
+    orig_barrier = mh._barrier
+
+    def fake_allgather(local_best, host):
+        gathered.setdefault(host.process_id, []).append(local_best)
+        # Two-host exchange simulated by running host 1 first and
+        # replaying its values for host 0.
+        other = 1 - host.process_id
+        vals = gathered.get(other)
+        other_val = vals[len(gathered[host.process_id]) - 1] if vals else 0
+        return np.asarray([local_best, other_val], np.int64)
+
+    mh._allgather_best = lambda b, h: fake_allgather(b, h)
+    mh._barrier = lambda h, n: None
+    try:
+        h1 = HostConfig(num_processes=2, process_id=1)
+        h0 = HostConfig(num_processes=2, process_id=0)
+        run_multihost_pipeline(config, h1)
+        paths = run_multihost_pipeline(config, h0)
+    finally:
+        mh._allgather_best = orig_allgather
+        mh._barrier = orig_barrier
+
+    text = open(paths[0]).read()
+    assert ">gi|2|b" in text
+    assert f"Maximum alignment score = {5 * len(read)}" in text
