@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def _measure_device(reads_enc, refs_enc, params, iters=5):
+def _measure_device(reads_enc, refs_enc, params, iters=20):
     import jax
 
     from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid
@@ -31,12 +31,14 @@ def _measure_device(reads_enc, refs_enc, params, iters=5):
             return pallas_score_grid(reads_enc, refs_enc, *params, read_block=128)
         return score_grid(reads_enc, refs_enc, *params)
 
-    out = np.asarray(run())  # compile + settle; async dispatch means
-    # block_until_ready can return before remote execution finishes, so
-    # every timed iteration materializes its (small) output on the host.
+    out = np.asarray(run())  # compile + settle (async dispatch means
+    # block_until_ready can return before remote execution finishes;
+    # a host fetch is the reliable fence).
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = np.asarray(run())
+    outs = [run() for _ in range(iters)]
+    out = np.asarray(outs[-1])  # programs execute in order on the one
+    # device stream, so fetching the last output fences all of them —
+    # without paying a host round-trip per iteration.
     dt = (time.perf_counter() - t0) / iters
     r, m = reads_enc.shape
     c, n = refs_enc.shape

@@ -39,32 +39,50 @@ def _shift_right_fill(x, shift, fill):
     return jnp.where(col >= shift, rolled, fill)
 
 
-def _lane_cummax(x):
-    """Cumulative max along the last axis via log-doubling rolls."""
+def _lane_cummax(x, window=None):
+    """Cumulative max along the last axis via log-doubling rolls.
+
+    ``window`` truncates the doubling: the result is then a sliding-
+    window max of width >= window, which equals the true prefix max
+    whenever no value can influence cells further than ``window`` lanes
+    away (see ``_propagation_window``).
+    """
     n = x.shape[-1]
+    limit = n if window is None else min(n, window)
     shift = 1
-    while shift < n:
+    while shift < limit:
         x = jnp.maximum(x, _shift_right_fill(x, shift, _NEG_INF))
         shift *= 2
     return x
 
 
-def _score_kernel(params_ref, reads_ref, refs_ref, out_ref):
+def _propagation_window(m: int, match: int, gap: int) -> int:
+    """Max lanes a row candidate can influence under a linear gap.
+
+    A candidate A[k] <= match*m propagated to column j contributes
+    ``A[k] - |gap|*(j-k)``; the local candidate is >= 0, so influence
+    dies beyond ``match*m/|gap|`` lanes.  Exact for positive match and
+    negative gap (asserted by config); the truncated cummax is then
+    identical to the full prefix max.
+    """
+    return (match * m) // (-gap) + 2
+
+
+def _score_kernel(reads_ref, refs_ref, out_ref, *, match, mismatch, gap):
     """One program: scores RB reads against one reference sequence.
 
-    params_ref: (3,) int32 SMEM — (match, mismatch, gap)
     reads_ref:  (RB, M) int32 VMEM
     refs_ref:   (1, 1, N) int32 VMEM (leading dim = ref grid axis)
     out_ref:    (1, R/RB, RB) int32 VMEM — the whole slab for this ref
                 stays resident across the inner (read-block) grid dim;
                 each program writes its own row.
-    """
-    match = params_ref[0]
-    mismatch = params_ref[1]
-    gap = params_ref[2]
 
+    Scoring parameters are compile-time constants: they fold into the
+    vector ops and make the cummax propagation window static.
+    """
     rb, m = reads_ref.shape
     n = refs_ref.shape[2]
+    window = _propagation_window(m, match, gap)
 
     ref_row = refs_ref[0, :, :]  # (1, N)
     col = jax.lax.broadcasted_iota(jnp.int32, (rb, n), dimension=1)
@@ -85,7 +103,7 @@ def _score_kernel(params_ref, reads_ref, refs_ref, out_ref):
         a = nw + sub
         ins = h_prev + gap
         cand = jnp.maximum(jnp.maximum(a, ins), 0)
-        h = _lane_cummax(cand - ramp) + ramp
+        h = _lane_cummax(cand - ramp, window) + ramp
         best = jnp.maximum(best, jnp.max(h, axis=1, keepdims=True))
         return h, best
 
@@ -95,7 +113,10 @@ def _score_kernel(params_ref, reads_ref, refs_ref, out_ref):
     out_ref[0, pl.program_id(1), :] = best[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("read_block", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "read_block", "interpret"),
+)
 def pallas_score_grid(
     reads,
     refs,
@@ -111,6 +132,7 @@ def pallas_score_grid(
     Args:
       reads: (R, M) uint8, R a multiple of read_block.
       refs:  (C, N) uint8.
+      match/mismatch/gap: STATIC ints (one compile per scoring scheme).
     Returns:
       (R, C) int32 scores.
     """
@@ -118,9 +140,7 @@ def pallas_score_grid(
     c, n = refs.shape
     if r % read_block != 0:
         raise ValueError(f"R={r} must be a multiple of read_block={read_block}")
-    params = jnp.stack(
-        [jnp.asarray(match, jnp.int32), jnp.asarray(mismatch, jnp.int32), jnp.asarray(gap, jnp.int32)]
-    )
+    match, mismatch, gap = int(match), int(mismatch), int(gap)
     reads_i = reads.astype(jnp.int32)
     # 3-D shapes so the block's last two dims equal the array dims
     # (Mosaic tiling constraint: last two block dims must be (8k, 128k)
@@ -128,12 +148,14 @@ def pallas_score_grid(
     refs_i = refs.astype(jnp.int32)[:, None, :]  # (C, 1, N)
 
     grid = (c, r // read_block)
+    kernel = functools.partial(
+        _score_kernel, match=match, mismatch=mismatch, gap=gap
+    )
     out = pl.pallas_call(
-        _score_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((c, r // read_block, read_block), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (read_block, m), lambda ci, ri: (ri, 0), memory_space=pltpu.VMEM
             ),
@@ -153,7 +175,7 @@ def pallas_score_grid(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(params, reads_i, refs_i)
+    )(reads_i, refs_i)
     return out.reshape(c, r).T  # (R, C)
 
 
