@@ -98,7 +98,25 @@ def enable_compile_cache() -> None:
         pass  # older jax without the knobs
 
 
+def _apply_platform() -> None:
+    """Honor SWTPU_PLATFORM (e.g. 'cpu', 'tpu').
+
+    ``jax.config.update('jax_platforms', ...)`` is used instead of the
+    JAX_PLATFORMS env var: site customization may import jax (and fix its
+    env-var read) before this process's environment is consulted, while
+    the config update takes effect at lazy backend initialization.
+    """
+    import os
+
+    platform = os.environ.get("SWTPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None) -> int:
+    _apply_platform()
     enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="sparksmithwaterman_tpu",

@@ -5,7 +5,10 @@ import pytest
 
 from sparksmithwaterman_tpu.core import oracle
 from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
-from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid
+from sparksmithwaterman_tpu.ops.pallas_score import (
+    pallas_score_grid,
+    pallas_score_grid_diag,
+)
 from sparksmithwaterman_tpu.ops.recurrence import score_grid
 
 PARAMS = (np.int32(5), np.int32(-3), np.int32(-4))
@@ -35,6 +38,38 @@ def test_pallas_matches_lax_reference(make_seq):
     refs_enc = encode_batch(refs, 64, REF_PAD)
     got = np.asarray(
         pallas_score_grid(reads_enc, refs_enc, *PARAMS, read_block=8, interpret=True)
+    )
+    want = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_diag_kernel_matches_oracle(make_seq):
+    reads = [make_seq(12) for _ in range(7)] + [""]
+    refs = [make_seq(50) for _ in range(3)]
+    reads_enc = encode_batch(reads, 16, READ_PAD)
+    refs_enc = encode_batch(refs, 64, REF_PAD)
+    got = np.asarray(
+        pallas_score_grid_diag(
+            reads_enc, refs_enc, *PARAMS, read_block=8, interpret=True
+        )
+    )
+    assert got.shape == (8, 3)
+    for r, read in enumerate(reads):
+        for c, ref in enumerate(refs):
+            assert got[r, c] == oracle.opt_alignments(ref, read)[0], (r, c)
+
+
+def test_diag_kernel_matches_lax_reference(make_seq):
+    # Ragged lengths + padding on both axes; ref shorter than read and
+    # non-multiple-of-8 diagonal count exercise the window clamps.
+    reads = [make_seq(int(l)) for l in np.random.default_rng(5).integers(1, 24, 8)]
+    refs = [make_seq(int(l)) for l in np.random.default_rng(6).integers(4, 60, 3)]
+    reads_enc = encode_batch(reads, 24, READ_PAD)
+    refs_enc = encode_batch(refs, 60, REF_PAD)
+    got = np.asarray(
+        pallas_score_grid_diag(
+            reads_enc, refs_enc, *PARAMS, read_block=4, interpret=True
+        )
     )
     want = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS))
     np.testing.assert_array_equal(got, want)
