@@ -21,14 +21,16 @@ import numpy as np
 def _measure_device(reads_enc, refs_enc, params, iters=20):
     import jax
 
-    from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid
+    from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid_diag
     from sparksmithwaterman_tpu.ops.recurrence import score_grid
 
     on_tpu = jax.default_backend() == "tpu"
 
     def run():
         if on_tpu:
-            return pallas_score_grid(reads_enc, refs_enc, *params, read_block=128)
+            return pallas_score_grid_diag(
+                reads_enc, refs_enc, *params, read_block=256
+            )
         return score_grid(reads_enc, refs_enc, *params)
 
     out = np.asarray(run())  # compile + settle (async dispatch means

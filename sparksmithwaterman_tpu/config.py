@@ -64,4 +64,5 @@ class AlignConfig:
     ref_bucket: int = 256  # pad refs up to multiples of this
     max_pairs_per_call: int = 1 << 14  # chunk the (read, ref) pair grid
     use_pallas: bool = True  # Pallas kernel on TPU; lax fallback elsewhere
-    read_block: int = 64  # Pallas kernel read-block (pairs per program)
+    kernel: str = "diag"  # 'diag' (wavefront, fast) | 'row' (prefix-max)
+    read_block: int = 64  # 'row' kernel read-block (pairs per program)

@@ -31,7 +31,10 @@ from sparksmithwaterman_tpu.ops.device_traceback import (
     path_cap,
     sites_from_trace,
 )
-from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid
+from sparksmithwaterman_tpu.ops.pallas_score import (
+    pallas_score_grid,
+    pallas_score_grid_diag,
+)
 from sparksmithwaterman_tpu.utils.profiling import GcupsCounter
 
 # Max-cell ties handled on device per pair; beyond this the pair falls
@@ -85,8 +88,13 @@ class BatchBackend:
         # The Pallas kernel runs compiled on TPU; elsewhere (CPU tests)
         # the lax implementation is the fast path.
         self.use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+        self.kernel = config.kernel
         self._params = tuple(
             np.int32(v) for v in (self.scoring.match, self.scoring.mismatch, self.scoring.gap)
+        )
+        # Python-int copy for static (compile-time) kernel parameters.
+        self._params_static = (
+            self.scoring.match, self.scoring.mismatch, self.scoring.gap
         )
         # DP-fill performance counter (real cells = sum |read|*|ref|,
         # excluding padding — the honest GCUPS of SURVEY.md §5).
@@ -100,16 +108,29 @@ class BatchBackend:
         ragged batch sizes reuse a small set of compiled programs.
         """
         r, c = reads_enc.shape[0], refs_enc.shape[0]
-        base_r = self.read_block if self.use_pallas else 8
-        reads_enc = _pad_rows(reads_enc, _quantize(r, base_r), READ_PAD)
         refs_enc = _pad_rows(refs_enc, _quantize(c, 8), REF_PAD)
-        if self.use_pallas:
+        if self.use_pallas and self.kernel == "diag":
+            # Wavefront kernel: the read block is the whole quantized
+            # batch up to 256 rows (8*2^k row counts, so the block always
+            # divides R); bigger blocks amortize the per-diagonal step.
+            r_q = _quantize(r, 8)
+            reads_enc = _pad_rows(reads_enc, r_q, READ_PAD)
+            scores = np.asarray(
+                pallas_score_grid_diag(
+                    reads_enc, refs_enc, *self._params, read_block=min(256, r_q)
+                )
+            )
+        elif self.use_pallas:
+            reads_enc = _pad_rows(
+                reads_enc, _quantize(r, self.read_block), READ_PAD
+            )
             scores = np.asarray(
                 pallas_score_grid(
                     reads_enc, refs_enc, *self._params, read_block=self.read_block
                 )
             )
         else:
+            reads_enc = _pad_rows(reads_enc, _quantize(r, 8), READ_PAD)
             scores = np.asarray(score_grid(reads_enc, refs_enc, *self._params))
         return scores[:r, :c]
 

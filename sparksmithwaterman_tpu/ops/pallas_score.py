@@ -179,7 +179,9 @@ def pallas_score_grid(
     return out.reshape(c, r).T  # (R, C)
 
 
-def _diag_kernel(reads_ref, win_ref, out_ref, *, match, mismatch, gap, diags):
+def _diag_kernel(
+    reads_ref, win_ref, out_ref, *, match, mismatch, gap, diags, dtype
+):
     """Anti-diagonal program: RB reads vs one reference sequence.
 
     The reference's wavefront fills one anti-diagonal per *Spark job*
@@ -208,18 +210,23 @@ def _diag_kernel(reads_ref, win_ref, out_ref, *, match, mismatch, gap, diags):
     mismatch/gap < 0, so those lanes can never go positive.
     """
     rb, m = reads_ref.shape
-    reads_block = reads_ref[:]  # (RB, M), loaded once
+    dt = dtype
+    reads_block = reads_ref[:].astype(dt)  # (RB, M), loaded once
     lane0 = (
         jax.lax.broadcasted_iota(jnp.int32, (rb, m), dimension=1) == 0
     )
+    match_c = jnp.asarray(match, dt)
+    mismatch_c = jnp.asarray(mismatch, dt)
+    gap_c = jnp.asarray(gap, dt)
+    zero_c = jnp.asarray(0, dt)
 
     def step(d2, d1, d):
         refwin = win_ref[0, pl.ds(d, 1), :]  # (1, M) sublane-dynamic slice
-        sub = jnp.where(reads_block == refwin, match, mismatch)
-        a = jnp.where(lane0, 0, pltpu.roll(d2, shift=1, axis=1)) + sub
-        d1g = d1 + gap
-        n_term = jnp.where(lane0, gap, pltpu.roll(d1g, shift=1, axis=1))
-        return jnp.maximum(jnp.maximum(a, jnp.maximum(n_term, d1g)), 0)
+        sub = jnp.where(reads_block == refwin.astype(dt), match_c, mismatch_c)
+        a = jnp.where(lane0, zero_c, pltpu.roll(d2, shift=1, axis=1)) + sub
+        d1g = d1 + gap_c
+        n_term = jnp.where(lane0, gap_c, pltpu.roll(d1g, shift=1, axis=1))
+        return jnp.maximum(jnp.maximum(a, jnp.maximum(n_term, d1g)), zero_c)
 
     # Two diagonals per iteration: every carry output is then a computed
     # value (no d2 <- d1 pass-through).  With a pass-through, one carry
@@ -235,11 +242,12 @@ def _diag_kernel(reads_ref, win_ref, out_ref, *, match, mismatch, gap, diags):
         c2 = step(d1, c1, 2 * t + 1)
         return c1, c2, jnp.maximum(best, jnp.maximum(c1, c2))
 
-    zeros = jnp.zeros((rb, m), jnp.int32)
+    zeros = jnp.zeros((rb, m), dt)
     _, _, best = jax.lax.fori_loop(
         0, (diags + 1) // 2, body, (zeros, zeros, zeros)
     )
-    out_ref[0, pl.program_id(1), :] = jnp.max(best, axis=1)
+    # Widen before the lane reduction: Mosaic has no int16 reductions.
+    out_ref[0, pl.program_id(1), :] = jnp.max(best.astype(jnp.int32), axis=1)
 
 
 def _diag_windows(refs_i, m: int, t_pad: int):
@@ -260,7 +268,9 @@ def _diag_windows(refs_i, m: int, t_pad: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("match", "mismatch", "gap", "read_block", "interpret"),
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "interpret", "state_dtype"
+    ),
 )
 def pallas_score_grid_diag(
     reads,
@@ -271,18 +281,29 @@ def pallas_score_grid_diag(
     *,
     read_block: int = 256,
     interpret: bool = False,
+    state_dtype: str = "auto",
 ):
     """Max SW score for every (read, ref) pair via the wavefront kernel.
 
     Same contract as :func:`pallas_score_grid`; ~3x fewer vector ops per
     cell (no prefix-max), at the cost of a (C, M+N-1, M) window gather.
     Best for the common read-vs-gene regime (M ~ 1e2, N ~ 1e3..1e4).
+
+    ``state_dtype``: 'int32', 'int16', or 'auto'.  Scores are bounded by
+    ``match * M``, so for real read lengths int16 state is exact and
+    would pack two DP cells per 32-bit VPU lane — but current Mosaic has
+    no 16-bit lane rotate ("Rotate with non-32-bit data"), so 'auto'
+    resolves to int32 on TPU; the int16 path runs in interpret mode and
+    is kept for future Mosaic versions.
     """
     r, m = reads.shape
     c, n = refs.shape
     if r % read_block != 0:
         raise ValueError(f"R={r} must be a multiple of read_block={read_block}")
     match, mismatch, gap = int(match), int(mismatch), int(gap)
+    if state_dtype == "auto":
+        state_dtype = "int32"
+    dtype = jnp.int16 if state_dtype == "int16" else jnp.int32
     diags = m + n - 1
     # Sublane-align the table AND guarantee a spare PAD row for the
     # kernel's two-diagonals-per-step overshoot when `diags` is odd.
@@ -292,7 +313,12 @@ def pallas_score_grid_diag(
 
     grid = (c, r // read_block)
     kernel = functools.partial(
-        _diag_kernel, match=match, mismatch=mismatch, gap=gap, diags=diags
+        _diag_kernel,
+        match=match,
+        mismatch=mismatch,
+        gap=gap,
+        diags=diags,
+        dtype=dtype,
     )
     out = pl.pallas_call(
         kernel,

@@ -53,15 +53,30 @@ def _pad_axis0(arr: np.ndarray, multiple: int, fill: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "reads_axis", "refs_axis")
+    jax.jit,
+    static_argnames=("mesh", "reads_axis", "refs_axis", "kernel_params"),
 )
 def sharded_score_grid(
-    reads, refs, match, mismatch, gap, *, mesh: Mesh, reads_axis="reads", refs_axis="refs"
+    reads,
+    refs,
+    match,
+    mismatch,
+    gap,
+    *,
+    mesh: Mesh,
+    reads_axis="reads",
+    refs_axis="refs",
+    kernel_params=None,
 ):
     """(R, C) score grid computed with reads and refs sharded on the mesh.
 
     R must divide by the reads-axis size, C by the refs-axis size (pad
     with READ_PAD/REF_PAD rows; padded scores are exactly 0).
+
+    ``kernel_params``: None for the portable lax path, or a static
+    ``(match, mismatch, gap, read_block)`` tuple to run the Pallas
+    wavefront kernel on each shard (TPU; per-shard read count must be a
+    multiple of read_block).
     """
 
     @functools.partial(
@@ -75,6 +90,15 @@ def sharded_score_grid(
         check_vma=False,
     )
     def block(reads_blk, refs_blk, m, mm, g):
+        if kernel_params is not None:
+            from sparksmithwaterman_tpu.ops.pallas_score import (
+                pallas_score_grid_diag,
+            )
+
+            km, kmm, kg, rb = kernel_params
+            return pallas_score_grid_diag(
+                reads_blk, refs_blk, km, kmm, kg, read_block=rb
+            )
         return score_grid(reads_blk, refs_blk, m, mm, g)
 
     return block(
@@ -144,26 +168,35 @@ class ShardedBackend(BatchBackend):
         self.mesh = mesh
         self._dr = mesh.shape["reads"]
         self._dc = mesh.shape["refs"]
-        # Pallas-in-shard_map needs per-shard block alignment; keep the
-        # portable lax path inside shard_map (it is the same XLA program
-        # the Pallas kernel hand-schedules).  Revisit when manual-mesh
-        # pallas_call is wired up.
-        self.use_pallas = False
 
     def _score_grid(self, reads_enc: np.ndarray, refs_enc: np.ndarray) -> np.ndarray:
         from sparksmithwaterman_tpu.models.batch_backend import _pad_rows, _quantize
 
         r, c = reads_enc.shape[0], refs_enc.shape[0]
         # Quantize row counts (compile-shape stability), then round up to
-        # mesh-axis multiples for even sharding.
+        # mesh-axis multiples for even sharding.  The reads quantum is
+        # 8 * dr so every shard's row count stays a multiple of 8 (the
+        # Pallas read_block divisor).
         reads_p = _pad_axis0(
-            _pad_rows(reads_enc, _quantize(r, 8), READ_PAD), self._dr, READ_PAD
+            _pad_rows(reads_enc, _quantize(r, 8 * self._dr), READ_PAD),
+            self._dr,
+            READ_PAD,
         )
         refs_p = _pad_axis0(
             _pad_rows(refs_enc, _quantize(c, 8), REF_PAD), self._dc, REF_PAD
         )
+        kernel_params = None
+        if self.use_pallas and self.kernel == "diag":
+            shard_r = reads_p.shape[0] // self._dr
+            kernel_params = self._params_static + (min(256, shard_r),)
         scores = np.asarray(
-            sharded_score_grid(reads_p, refs_p, *self._params, mesh=self.mesh)
+            sharded_score_grid(
+                reads_p,
+                refs_p,
+                *self._params,
+                mesh=self.mesh,
+                kernel_params=kernel_params,
+            )
         )
         return scores[:r, :c]
 
