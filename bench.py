@@ -74,8 +74,8 @@ def main():
     alphabet = np.array(list("ACGT"))
     params = (np.int32(5), np.int32(-3), np.int32(-4))
 
-    # Device workload: 256 reads x 128bp vs 64 refs x 2kb  (~4.3e9 cells)
-    reads = ["".join(rng.choice(alphabet, size=128)) for _ in range(256)]
+    # Device workload: 512 reads x 128bp vs 64 refs x 2kb  (~8.6e9 cells)
+    reads = ["".join(rng.choice(alphabet, size=128)) for _ in range(512)]
     refs = ["".join(rng.choice(alphabet, size=2048)) for _ in range(64)]
     reads_enc = encode_batch(reads, 128, READ_PAD)
     refs_enc = encode_batch(refs, 2048, REF_PAD)
