@@ -34,6 +34,7 @@ from sparksmithwaterman_tpu.ops.device_traceback import (
 from sparksmithwaterman_tpu.ops.pallas_score import (
     pallas_score_grid,
     pallas_score_grid_diag,
+    pallas_score_grid_diag_chunked,
 )
 from sparksmithwaterman_tpu.utils.profiling import GcupsCounter
 
@@ -45,6 +46,10 @@ _TRACE_CAPACITY = 64
 # (B, M, N) fill of one traceback call (int32 words).
 _SCORE_BUDGET = 1 << 24
 _FILL_BUDGET = 1 << 24
+
+# Beyond this padded ref length the whole-table wavefront kernel's
+# (M+N, M) VMEM window no longer fits; stream it in chunks instead.
+_CHUNKED_REF_N = 8192
 
 
 def _pad_len(n: int, bucket: int) -> int:
@@ -115,11 +120,20 @@ class BatchBackend:
             # divides R); bigger blocks amortize the per-diagonal step.
             r_q = _quantize(r, 8)
             reads_enc = _pad_rows(reads_enc, r_q, READ_PAD)
-            scores = np.asarray(
-                pallas_score_grid_diag(
-                    reads_enc, refs_enc, *self._params, read_block=min(256, r_q)
+            if refs_enc.shape[1] > _CHUNKED_REF_N:
+                scores = np.asarray(
+                    pallas_score_grid_diag_chunked(
+                        reads_enc, refs_enc, *self._params,
+                        read_block=min(256, r_q),
+                    )
                 )
-            )
+            else:
+                scores = np.asarray(
+                    pallas_score_grid_diag(
+                        reads_enc, refs_enc, *self._params,
+                        read_block=min(256, r_q),
+                    )
+                )
         elif self.use_pallas:
             reads_enc = _pad_rows(
                 reads_enc, _quantize(r, self.read_block), READ_PAD
@@ -172,13 +186,23 @@ class BatchBackend:
         # (ops/longseq.py, BASELINE config 5).
         max_m = max((len(r) for r in reads), default=0)
         if max_m and n_pad * _pad_len(max_m, self.read_bucket) > _FILL_BUDGET:
-            from sparksmithwaterman_tpu.ops.longseq import sites_for_pair_long
+            from sparksmithwaterman_tpu.ops.longseq import (
+                find_max_cells_batched,
+                sites_for_pair_long,
+            )
 
+            # One batched kernel pass finds every read's max cells
+            # (vs R sequential row-scan dispatches).
+            cell_lists = find_max_cells_batched(
+                list(reads), ref_seq, self._params,
+                backend="pallas" if self.use_pallas else "scan",
+            )
             for ridx, read in enumerate(reads):
                 per_read[ridx] = sites_for_pair_long(
                     ref_seq, read, self._params,
                     gap_char=self.scoring.gap_char,
                     ref_bucket=self.ref_bucket,
+                    max_cells=cell_lists[ridx],
                 )
             merged: List[Site] = []
             for sites in per_read:

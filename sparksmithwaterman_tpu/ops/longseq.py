@@ -79,6 +79,77 @@ def find_max_cells(
         capacity *= 2
 
 
+def find_max_cells_batched(
+    reads: List[str],
+    ref_seq: str,
+    params,
+    *,
+    backend: str = "auto",
+    read_block: int = 256,
+    interpret: bool = False,
+) -> List[Tuple[int, np.ndarray]]:
+    """Per-read (best, max-cells) of a whole read batch vs ONE long ref.
+
+    On TPU this replaces R sequential row-scan dispatches with one
+    chunked wavefront argmax kernel pass
+    (``pallas_argmax_grid_diag_chunked``): each read-position lane
+    reports (row best, first diagonal reaching it, tie count).  A read's
+    max cells are reconstructed exactly as (lane, bestd - lane) for the
+    lanes hitting the global best when every such lane has tie count 1;
+    a read with an in-lane tie (count > 1 — multiple co-optimal cells in
+    one DP row) falls back to the exact scan, preserving the all-co-
+    optimal-cells contract (``SmithWaterman.java:176-185``).
+
+    backend: 'auto' (kernel on TPU, scan elsewhere), 'pallas', 'scan'.
+    """
+    import jax
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if backend == "scan":
+        return [find_max_cells(read, ref_seq, params) for read in reads]
+
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        pallas_argmax_grid_diag_chunked,
+    )
+
+    m_pad = max(8, -(-max(len(r) for r in reads) // 8) * 8)
+    r_q = 8
+    while r_q < len(reads):
+        r_q *= 2
+    reads_enc = encode_batch(reads, m_pad, READ_PAD)
+    if reads_enc.shape[0] < r_q:
+        pad = np.full((r_q - reads_enc.shape[0], m_pad), READ_PAD, np.uint8)
+        reads_enc = np.concatenate([reads_enc, pad], axis=0)
+    ref_enc = encode_batch([ref_seq], len(ref_seq), REF_PAD)
+    best, bestd, count = pallas_argmax_grid_diag_chunked(
+        reads_enc,
+        ref_enc,
+        *(int(p) for p in params),
+        read_block=min(read_block, r_q),
+        interpret=interpret,
+    )
+    best = np.asarray(best)[: len(reads), 0]    # (R, M) per-lane best
+    bestd = np.asarray(bestd)[: len(reads), 0]
+    count = np.asarray(count)[: len(reads), 0]
+
+    out: List[Tuple[int, np.ndarray]] = []
+    for ridx, read in enumerate(reads):
+        b = int(best[ridx].max())
+        if b == 0:
+            out.append((0, np.empty((0, 2), np.int32)))
+            continue
+        lanes = np.flatnonzero(best[ridx] == b)
+        if (count[ridx, lanes] != 1).any():
+            out.append(find_max_cells(read, ref_seq, params))
+            continue
+        cells = np.stack(
+            [lanes, bestd[ridx, lanes] - lanes], axis=1
+        ).astype(np.int32)
+        out.append((b, cells))
+    return out
+
+
 def window_width(m: int, n: int) -> int:
     """Static ref-column window provably containing any path of a
     length-m read (see module docstring)."""
@@ -91,14 +162,22 @@ def sites_for_pair_long(
     params,
     gap_char: str = "_",
     ref_bucket: int = 256,
+    max_cells: Tuple[int, np.ndarray] | None = None,
 ) -> List[Site]:
     """All optimal sites of one (read, long-ref) pair without an O(m*n)
     traceback fill.  Output order matches the oracle (row-major max-cell
-    discovery, ``SmithWaterman.java:176-185``)."""
+    discovery, ``SmithWaterman.java:176-185``).
+
+    ``max_cells``: precomputed (best, cells) — e.g. one element of
+    :func:`find_max_cells_batched` — to skip the per-pair search.
+    """
     m, n = len(read_seq), len(ref_seq)
     if m == 0 or n == 0:
         return []
-    best, cells = find_max_cells(read_seq, ref_seq, params)
+    best, cells = (
+        max_cells if max_cells is not None
+        else find_max_cells(read_seq, ref_seq, params)
+    )
     if best == 0:
         # Degenerate all-zero matrix: every cell "ties" (oracle parity).
         return [(0, ("", ""))] * (m * n)

@@ -258,29 +258,35 @@ def _diag_kernel(
     out_ref[0, pl.program_id(1), :] = jnp.max(best.astype(jnp.int32), axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "t_pad"))
 def _diag_windows(refs_i, m: int, t_pad: int):
     """(C, N) int32 refs -> (C, T, M) per-diagonal substitution windows.
 
-    win[c, d, i] = refs[c, d-i] clipped to REF_PAD (=1, matches no read
-    code) outside [0, N).  One XLA gather per score call; O(C·T·M) HBM,
-    negligible next to the O(C·T·M·RB) kernel compute.
+    win[c, d, i] = refs[c, d-i], REF_PAD (=1, matches no read code)
+    outside [0, N).  The table is Toeplitz along (d, i), so column i is
+    just the padded ref shifted by i: M static contiguous slices of a
+    padded row, stacked — O(C·T·M) sequential HBM writes.  (The obvious
+    elementwise gather with a (T, M) index matrix is ~70x slower at
+    N ~ 131kb.)
+
+    This is its OWN jit on purpose: called inside the score jit, XLA
+    assigns the stack output a non-default layout and the Pallas window
+    input DMA goes strided (measured 235 -> 136 GCUPS).  A jit boundary
+    forces the default major-to-minor layout.
     """
     n = refs_i.shape[1]
-    k = jnp.arange(t_pad, dtype=jnp.int32)[:, None] - jnp.arange(
-        m, dtype=jnp.int32
-    )[None, :]  # (T, M) = d - i
-    valid = (k >= 0) & (k < n)
-    gathered = refs_i[:, jnp.clip(k, 0, n - 1)]  # (C, T, M)
-    return jnp.where(valid[None], gathered, jnp.int32(1))
+    # padded[c, x] = refs[c, x-(m-1)], PAD outside; len = (m-1) + t_pad
+    # (t_pad >= m+n-1 always, so right pad >= m-1 >= 0).
+    padded = jnp.pad(
+        refs_i, ((0, 0), (m - 1, t_pad - n)), constant_values=jnp.int32(1)
+    )
+    cols = [
+        jax.lax.slice_in_dim(padded, m - 1 - i, m - 1 - i + t_pad, axis=1)
+        for i in range(m)
+    ]
+    return jnp.stack(cols, axis=2)  # (C, T, M)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "match", "mismatch", "gap", "read_block", "interpret", "state_dtype",
-        "unroll",
-    ),
-)
 def pallas_score_grid_diag(
     reads,
     refs,
@@ -320,9 +326,30 @@ def pallas_score_grid_diag(
     # Sublane-align the table AND guarantee spare PAD rows for the
     # kernel's unroll-diagonals-per-step overshoot.
     t_pad = -(-(diags + unroll - 1) // 8) * 8
-    reads_i = reads.astype(jnp.int32)
-    windows = _diag_windows(refs.astype(jnp.int32), m, t_pad)  # (C, T, M)
+    reads_i = jnp.asarray(reads).astype(jnp.int32)
+    # Built OUTSIDE the score jit (see _diag_windows: layout forcing).
+    windows = _diag_windows(jnp.asarray(refs).astype(jnp.int32), m, t_pad)
+    return _score_diag_call(
+        reads_i, windows,
+        match=match, mismatch=mismatch, gap=gap, read_block=read_block,
+        diags=diags, dtype=dtype, unroll=unroll, interpret=interpret,
+    )
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "diags", "dtype", "unroll",
+        "interpret",
+    ),
+)
+def _score_diag_call(
+    reads_i, windows, *, match, mismatch, gap, read_block, diags, dtype,
+    unroll, interpret,
+):
+    r, m = reads_i.shape
+    c, t_pad, _ = windows.shape
+    n = diags - m + 1
     grid = (c, r // read_block)
     kernel = functools.partial(
         _diag_kernel,
@@ -359,6 +386,336 @@ def pallas_score_grid_diag(
         interpret=interpret,
     )(reads_i, windows)
     return out.reshape(c, r).T  # (R, C)
+
+
+def _make_step(reads_block, lane0, match, mismatch, gap, dt):
+    """Shared wavefront recurrence step (see ``_diag_kernel``)."""
+    match_c = jnp.asarray(match, dt)
+    mismatch_c = jnp.asarray(mismatch, dt)
+    gap_c = jnp.asarray(gap, dt)
+    zero_c = jnp.asarray(0, dt)
+
+    def step(d2, d1, refwin):
+        sub = jnp.where(reads_block == refwin.astype(dt), match_c, mismatch_c)
+        a = jnp.where(lane0, zero_c, pltpu.roll(d2, shift=1, axis=1)) + sub
+        d1g = d1 + gap_c
+        n_term = jnp.where(lane0, gap_c, pltpu.roll(d1g, shift=1, axis=1))
+        return jnp.maximum(jnp.maximum(a, jnp.maximum(n_term, d1g)), zero_c)
+
+    return step
+
+
+def _chunked_kernel(
+    reads_ref, win_ref, out_ref, d2_s, d1_s, best_s,
+    *, match, mismatch, gap, chunk, unroll, num_chunks,
+):
+    """Chunked wavefront program: RB reads vs one LONG reference.
+
+    Same recurrence as ``_diag_kernel``, but the per-diagonal window
+    table is streamed from HBM in ``chunk``-diagonal blocks (grid dim 2)
+    instead of loaded whole — the whole-table form needs O((M+N)·M) VMEM
+    and dies around N ~ 20kb; this form needs O(chunk·M) and handles
+    100kb+ references (the reference's only long-sequence mechanism is
+    this same wavefront decomposition, ``src/sw/DistributedSW.java:164-245``,
+    with full O(m·n) matrices).  The two live diagonals + running best
+    persist across chunks in VMEM scratch.
+    """
+    rb, m = reads_ref.shape
+    dt = jnp.int32
+    tc = pl.program_id(2)
+    ri = pl.program_id(1)  # hoisted: program_id inside a pl.when body
+    # has no lowering rule in interpret mode
+
+    @pl.when(tc == 0)
+    def _init():
+        d2_s[...] = jnp.zeros((rb, m), dt)
+        d1_s[...] = jnp.zeros((rb, m), dt)
+        best_s[...] = jnp.zeros((rb, m), dt)
+
+    reads_block = reads_ref[:].astype(dt)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (rb, m), dimension=1) == 0
+    step = _make_step(reads_block, lane0, match, mismatch, gap, dt)
+
+    def body(t, carry):
+        d2, d1, best = carry
+        base = unroll * t
+        cs = []
+        for k in range(unroll):
+            c1 = step(d2, d1, win_ref[0, pl.ds(base + k, 1), :])
+            cs.append(c1)
+            d2, d1 = d1, c1
+        bm = cs[0]
+        for c_ in cs[1:]:
+            bm = jnp.maximum(bm, c_)
+        return d2, d1, jnp.maximum(best, bm)
+
+    d2, d1, best = jax.lax.fori_loop(
+        0, chunk // unroll, body, (d2_s[...], d1_s[...], best_s[...])
+    )
+    d2_s[...] = d2
+    d1_s[...] = d1
+    best_s[...] = best
+
+    @pl.when(tc == num_chunks - 1)
+    def _emit():
+        out_ref[0, ri, :] = jnp.max(best, axis=1)
+
+
+def pallas_score_grid_diag_chunked(
+    reads,
+    refs,
+    match,
+    mismatch,
+    gap,
+    *,
+    read_block: int = 256,
+    chunk: int = 2048,
+    unroll: int = 32,
+    interpret: bool = False,
+):
+    """Max SW score per (read, ref) pair for arbitrarily long refs.
+
+    Same contract as :func:`pallas_score_grid_diag`; use this form when
+    the per-ref window table exceeds VMEM (N beyond ~8-16kb).
+    """
+    r, m = reads.shape
+    c, n = refs.shape
+    if r % read_block != 0:
+        raise ValueError(f"R={r} must be a multiple of read_block={read_block}")
+    if chunk % unroll != 0 or chunk % 8 != 0:
+        raise ValueError(f"chunk={chunk} must be a multiple of unroll and 8")
+    match, mismatch, gap = int(match), int(mismatch), int(gap)
+    diags = m + n - 1
+    num_chunks = -(-diags // chunk)
+    t_pad = num_chunks * chunk
+    reads_i = jnp.asarray(reads).astype(jnp.int32)
+    windows = _diag_windows(jnp.asarray(refs).astype(jnp.int32), m, t_pad)
+    return _score_chunked_call(
+        reads_i, windows,
+        match=match, mismatch=mismatch, gap=gap, read_block=read_block,
+        chunk=chunk, unroll=unroll, num_chunks=num_chunks,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "chunk", "unroll",
+        "num_chunks", "interpret",
+    ),
+)
+def _score_chunked_call(
+    reads_i, windows, *, match, mismatch, gap, read_block, chunk, unroll,
+    num_chunks, interpret,
+):
+    r, m = reads_i.shape
+    c, t_pad, _ = windows.shape
+    n = t_pad - m + 1
+    grid = (c, r // read_block, num_chunks)
+    kernel = functools.partial(
+        _chunked_kernel,
+        match=match,
+        mismatch=mismatch,
+        gap=gap,
+        chunk=chunk,
+        unroll=unroll,
+        num_chunks=num_chunks,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, r // read_block, read_block), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (read_block, m), lambda ci, ri, tc: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, chunk, m), lambda ci, ri, tc: (ci, tc, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, r // read_block, read_block),
+            lambda ci, ri, tc: (ci, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((read_block, m), jnp.int32),
+            pltpu.VMEM((read_block, m), jnp.int32),
+            pltpu.VMEM((read_block, m), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=13 * r * m * c * n,
+            bytes_accessed=4 * (r * m + c * t_pad * m + c * r),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(reads_i, windows)
+    return out.reshape(c, r).T  # (R, C)
+
+
+def _chunked_argmax_kernel(
+    reads_ref, win_ref, best_ref, bestd_ref, count_ref, d2_s, d1_s,
+    *, match, mismatch, gap, chunk, unroll, num_chunks,
+):
+    """Chunked wavefront with per-lane argmax + tie-count tracking.
+
+    Output lane i of pair (read, ref) reports the running max over that
+    read position's DP row: its value, the anti-diagonal d = i + j where
+    it was FIRST reached, and how many cells of the row reach it.  The
+    host reconstructs all global max cells (i, bestd-i) exactly whenever
+    every winning lane has count == 1 (the overwhelmingly common case)
+    and falls back to the exact scan otherwise — co-optimal-cell
+    enumeration is the contract of the traceback path
+    (``SmithWaterman.java:176-185``: strict > clears, == appends).
+    """
+    rb, m = reads_ref.shape
+    dt = jnp.int32
+    tc = pl.program_id(2)
+
+    @pl.when(tc == 0)
+    def _init():
+        d2_s[...] = jnp.zeros((rb, m), dt)
+        d1_s[...] = jnp.zeros((rb, m), dt)
+        best_ref[...] = jnp.zeros((1, rb, m), dt)
+        bestd_ref[...] = jnp.zeros((1, rb, m), dt)
+        count_ref[...] = jnp.zeros((1, rb, m), dt)
+
+    reads_block = reads_ref[:].astype(dt)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (rb, m), dimension=1) == 0
+    step = _make_step(reads_block, lane0, match, mismatch, gap, dt)
+    one = jnp.asarray(1, dt)
+
+    def body(t, carry):
+        d2, d1, best, bestd, count = carry
+        base = unroll * t
+        for k in range(unroll):
+            c1 = step(d2, d1, win_ref[0, pl.ds(base + k, 1), :])
+            d_glob = tc * chunk + base + k
+            gt = c1 > best
+            eq = (c1 == best) & (best > 0)
+            best = jnp.where(gt, c1, best)
+            bestd = jnp.where(gt, d_glob, bestd)
+            count = jnp.where(gt, one, count + eq.astype(dt))
+            d2, d1 = d1, c1
+        return d2, d1, best, bestd, count
+
+    d2, d1, best, bestd, count = jax.lax.fori_loop(
+        0, chunk // unroll, body,
+        (d2_s[...], d1_s[...], best_ref[0], bestd_ref[0], count_ref[0]),
+    )
+    d2_s[...] = d2
+    d1_s[...] = d1
+    best_ref[0] = best
+    bestd_ref[0] = bestd
+    count_ref[0] = count
+
+
+def pallas_argmax_grid_diag_chunked(
+    reads,
+    refs,
+    match,
+    mismatch,
+    gap,
+    *,
+    read_block: int = 256,
+    chunk: int = 2048,
+    unroll: int = 32,
+    interpret: bool = False,
+):
+    """Per-lane (best, first-diag, tie-count) for every (read, ref) pair.
+
+    Returns three (R, C, M) int32 arrays; lane i of pair (r, c) covers
+    DP row i+1 (read position i).  See ``_chunked_argmax_kernel``.
+    """
+    r, m = reads.shape
+    c, n = refs.shape
+    if r % read_block != 0:
+        raise ValueError(f"R={r} must be a multiple of read_block={read_block}")
+    if chunk % unroll != 0 or chunk % 8 != 0:
+        raise ValueError(f"chunk={chunk} must be a multiple of unroll and 8")
+    match, mismatch, gap = int(match), int(mismatch), int(gap)
+    diags = m + n - 1
+    num_chunks = -(-diags // chunk)
+    t_pad = num_chunks * chunk
+    reads_i = jnp.asarray(reads).astype(jnp.int32)
+    windows = _diag_windows(jnp.asarray(refs).astype(jnp.int32), m, t_pad)
+    return _argmax_chunked_call(
+        reads_i, windows,
+        match=match, mismatch=mismatch, gap=gap, read_block=read_block,
+        chunk=chunk, unroll=unroll, num_chunks=num_chunks,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "chunk", "unroll",
+        "num_chunks", "interpret",
+    ),
+)
+def _argmax_chunked_call(
+    reads_i, windows, *, match, mismatch, gap, read_block, chunk, unroll,
+    num_chunks, interpret,
+):
+    r, m = reads_i.shape
+    c, t_pad, _ = windows.shape
+    n = t_pad - m + 1
+    grid = (c, r // read_block, num_chunks)
+    kernel = functools.partial(
+        _chunked_argmax_kernel,
+        match=match,
+        mismatch=mismatch,
+        gap=gap,
+        chunk=chunk,
+        unroll=unroll,
+        num_chunks=num_chunks,
+    )
+    out_spec = pl.BlockSpec(
+        (1, read_block, m), lambda ci, ri, tc: (ci, ri, 0),
+        memory_space=pltpu.VMEM,
+    )
+    shape = jax.ShapeDtypeStruct((c, r, m), jnp.int32)
+    best, bestd, count = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (read_block, m), lambda ci, ri, tc: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, chunk, m), lambda ci, ri, tc: (ci, tc, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((read_block, m), jnp.int32),
+            pltpu.VMEM((read_block, m), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=19 * r * m * c * n,
+            bytes_accessed=4 * (r * m + c * t_pad * m + 3 * c * r * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(reads_i, windows)
+    return (
+        best.transpose(1, 0, 2),
+        bestd.transpose(1, 0, 2),
+        count.transpose(1, 0, 2),
+    )
 
 
 def default_interpret() -> bool:

@@ -77,3 +77,30 @@ def test_backend_long_path_matches_serial(make_seq):
     _, s2 = oracle.opt_alignments(ref, read[:10])
     want = sorted(s1 + s2, key=lambda s: s[0])
     assert got == want
+
+
+@pytest.mark.parametrize("backend", ["scan", "pallas"])
+def test_find_max_cells_batched_parity(make_seq, backend):
+    from sparksmithwaterman_tpu.ops.longseq import find_max_cells_batched
+
+    rng = np.random.default_rng(21)
+    reads = [make_seq(int(l)) for l in rng.integers(4, 20, 5)]
+    ref = _embed(rng, 500, reads[0], [100, 350])
+    got = find_max_cells_batched(
+        reads, ref, PARAMS, backend=backend,
+        **({"interpret": True} if backend == "pallas" else {}),
+    )
+    for (gb, gc), read in zip(got, reads):
+        wb, wc = find_max_cells(read, ref, PARAMS)
+        assert gb == wb
+        np.testing.assert_array_equal(gc, wc)
+
+
+def test_sites_for_pair_long_precomputed_cells(make_seq):
+    rng = np.random.default_rng(22)
+    read = make_seq(12)
+    ref = _embed(rng, 600, read, [50, 400])
+    pre = find_max_cells(read, ref, PARAMS)
+    got = sites_for_pair_long(ref, read, PARAMS, max_cells=pre)
+    _, want = oracle.opt_alignments(ref, read)
+    assert got == want

@@ -80,3 +80,56 @@ def test_pallas_rejects_bad_block():
     refs_enc = encode_batch(["ACGT"], 8, REF_PAD)
     with pytest.raises(ValueError):
         pallas_score_grid(reads_enc, refs_enc, *PARAMS, read_block=4, interpret=True)
+
+
+def test_chunked_kernel_matches_lax_reference(make_seq):
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        pallas_score_grid_diag_chunked,
+    )
+
+    reads = [make_seq(int(l)) for l in np.random.default_rng(5).integers(1, 24, 8)]
+    refs = [make_seq(int(l)) for l in np.random.default_rng(6).integers(80, 300, 3)]
+    reads_enc = encode_batch(reads, 24, READ_PAD)
+    refs_enc = encode_batch(refs, 300, REF_PAD)
+    got = np.asarray(
+        pallas_score_grid_diag_chunked(
+            reads_enc, refs_enc, *PARAMS,
+            read_block=8, chunk=64, unroll=4, interpret=True,
+        )
+    )
+    want = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_argmax_reconstructs_max_cells(make_seq):
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        pallas_argmax_grid_diag_chunked,
+    )
+
+    rng = np.random.default_rng(9)
+    reads = [make_seq(int(l)) for l in rng.integers(4, 24, 8)]
+    refs = [make_seq(int(l)) for l in rng.integers(60, 290, 2)]
+    reads_enc = encode_batch(reads, 24, READ_PAD)
+    refs_enc = encode_batch(refs, 290, REF_PAD)
+    best, bestd, count = pallas_argmax_grid_diag_chunked(
+        reads_enc, refs_enc, *PARAMS,
+        read_block=8, chunk=64, unroll=4, interpret=True,
+    )
+    best, bestd, count = map(np.asarray, (best, bestd, count))
+    for r, read in enumerate(reads):
+        for c, ref in enumerate(refs):
+            h, _, max_score, _ = oracle.fill_matrices(ref, read)
+            h = h[1:, 1:]
+            assert best[r, c].max() == max_score
+            if max_score == 0:
+                continue
+            want = np.argwhere(h == max_score)
+            lanes = np.flatnonzero(best[r, c] == max_score)
+            # per-lane tie counts must match the oracle row tallies
+            for lane in lanes:
+                assert count[r, c, lane] == (want[:, 0] == lane).sum()
+            if (count[r, c, lanes] == 1).all():
+                rec = np.stack(
+                    [lanes, bestd[r, c, lanes] - lanes], axis=1
+                )
+                np.testing.assert_array_equal(rec, want)
