@@ -165,9 +165,14 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "bench":
+        import json
+
         from sparksmithwaterman_tpu.metrics.execution_times import run_sweeps
 
-        run_sweeps(args.data_dir, args.out_dir, args.strategy, args.sweeps)
+        results = run_sweeps(
+            args.data_dir, args.out_dir, args.strategy, args.sweeps
+        )
+        print(json.dumps(results, indent=1))
         return 0
 
     return 1

@@ -47,6 +47,12 @@ _TRACE_CAPACITY = 64
 _SCORE_BUDGET = 1 << 24
 _FILL_BUDGET = 1 << 24
 
+# Element budget for the wavefront kernel's (C, M+N, M) HBM window table
+# (int32 words; 1<<27 = 512MB).  The diag kernel holds no (R, C, N)
+# state, so its per-call ref count is bounded by this instead of
+# _SCORE_BUDGET — fewer, larger calls amortize dispatch + table build.
+_TABLE_BUDGET = 1 << 27
+
 # Beyond this padded ref length the whole-table wavefront kernel's
 # (M+N, M) VMEM window no longer fits; stream it in chunks instead.
 _CHUNKED_REF_N = 8192
@@ -156,11 +162,16 @@ class BatchBackend:
             return totals
         read_groups = _group_by_padded_len(reads, self.read_bucket)
         ref_groups = _group_by_padded_len(ref_seqs, self.ref_bucket)
+        diag_path = self.use_pallas and self.kernel == "diag"
         for n_pad, ref_idx in sorted(ref_groups.items()):
             for m_pad, read_idx in sorted(read_groups.items()):
                 r = len(read_idx)
                 reads_enc = encode_batch([reads[i] for i in read_idx], m_pad, READ_PAD)
-                c_block = max(1, min(len(ref_idx), _SCORE_BUDGET // max(1, r * n_pad)))
+                if diag_path:
+                    budget = _TABLE_BUDGET // max(1, (n_pad + m_pad) * m_pad)
+                else:
+                    budget = _SCORE_BUDGET // max(1, r * n_pad)
+                c_block = max(1, min(len(ref_idx), budget))
                 for start in range(0, len(ref_idx), c_block):
                     chunk = ref_idx[start : start + c_block]
                     refs_enc = encode_batch(
