@@ -52,10 +52,6 @@ def _pad_axis0(arr: np.ndarray, multiple: int, fill: int) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "reads_axis", "refs_axis", "kernel_params"),
-)
 def sharded_score_grid(
     reads,
     refs,
@@ -77,8 +73,103 @@ def sharded_score_grid(
     ``(match, mismatch, gap, read_block)`` tuple to run the Pallas
     wavefront kernel on each shard (TPU; per-shard read count must be a
     multiple of read_block).
-    """
 
+    On the Pallas path the per-diagonal window table is built FIRST, in
+    its own jit with the refs already sharded over ``refs_axis`` (each
+    device builds only its shard's table, in parallel) — building it
+    inside the score jit hands the Pallas kernel a non-default layout
+    and the window DMA goes strided (136 vs 228 GCUPS measured on v5e;
+    see ``ops/pallas_score._diag_windows``).
+    """
+    if kernel_params is not None:
+        from jax.sharding import NamedSharding
+
+        from sparksmithwaterman_tpu.ops.pallas_score import _diag_windows
+
+        km, kmm, kg, rb = kernel_params
+        m = reads.shape[1]
+        n = refs.shape[1]
+        diags = m + n - 1
+        unroll = 32
+        t_pad = -(-(diags + unroll - 1) // 8) * 8
+        refs_sharded = jax.device_put(
+            np.asarray(refs, np.int32),
+            NamedSharding(mesh, P(refs_axis, None)),
+        )
+        windows = _diag_windows(refs_sharded, m, t_pad)
+        return _sharded_diag_call(
+            jnp.asarray(reads).astype(jnp.int32),
+            windows,
+            mesh=mesh,
+            reads_axis=reads_axis,
+            refs_axis=refs_axis,
+            kernel_params=kernel_params,
+            diags=diags,
+            unroll=unroll,
+        )
+    return _sharded_lax_call(
+        reads,
+        refs,
+        jnp.asarray(match, jnp.int32),
+        jnp.asarray(mismatch, jnp.int32),
+        jnp.asarray(gap, jnp.int32),
+        mesh=mesh,
+        reads_axis=reads_axis,
+        refs_axis=refs_axis,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "reads_axis", "refs_axis", "kernel_params", "diags", "unroll"
+    ),
+)
+def _sharded_diag_call(
+    reads_i,
+    windows,
+    *,
+    mesh: Mesh,
+    reads_axis,
+    refs_axis,
+    kernel_params,
+    diags,
+    unroll,
+):
+    from sparksmithwaterman_tpu.ops.pallas_score import _score_diag_call
+
+    km, kmm, kg, rb = kernel_params
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(reads_axis, None), P(refs_axis, None, None)),
+        out_specs=P(reads_axis, refs_axis),
+        check_vma=False,
+    )
+    def block(reads_blk, windows_blk):
+        return _score_diag_call(
+            reads_blk,
+            windows_blk,
+            match=km,
+            mismatch=kmm,
+            gap=kg,
+            read_block=rb,
+            diags=diags,
+            dtype=jnp.int32,
+            unroll=unroll,
+            interpret=False,
+        )
+
+    return block(reads_i, windows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "reads_axis", "refs_axis")
+)
+def _sharded_lax_call(
+    reads, refs, match, mismatch, gap, *, mesh: Mesh, reads_axis, refs_axis
+):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -90,24 +181,9 @@ def sharded_score_grid(
         check_vma=False,
     )
     def block(reads_blk, refs_blk, m, mm, g):
-        if kernel_params is not None:
-            from sparksmithwaterman_tpu.ops.pallas_score import (
-                pallas_score_grid_diag,
-            )
-
-            km, kmm, kg, rb = kernel_params
-            return pallas_score_grid_diag(
-                reads_blk, refs_blk, km, kmm, kg, read_block=rb
-            )
         return score_grid(reads_blk, refs_blk, m, mm, g)
 
-    return block(
-        reads,
-        refs,
-        jnp.asarray(match, jnp.int32),
-        jnp.asarray(mismatch, jnp.int32),
-        jnp.asarray(gap, jnp.int32),
-    )
+    return block(reads, refs, match, mismatch, gap)
 
 
 @functools.partial(
