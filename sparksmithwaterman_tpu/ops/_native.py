@@ -21,10 +21,13 @@ _lock = threading.Lock()
 _lib = None
 
 
+_SOURCES = ("traceback.c", "fasta.c")
+
+
 def _build() -> None:
-    src = os.path.join(_CSRC, "traceback.c")
+    srcs = [os.path.join(_CSRC, s) for s in _SOURCES]
     subprocess.run(
-        ["cc", "-O3", "-fPIC", "-shared", "-Wall", "-o", _LIB_PATH, src],
+        ["cc", "-O3", "-fPIC", "-shared", "-Wall", "-o", _LIB_PATH] + srcs,
         check=True,
         capture_output=True,
     )
@@ -35,10 +38,10 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        src = os.path.join(_CSRC, "traceback.c")
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(
-            _LIB_PATH
-        ) < os.path.getmtime(src):
+        newest = max(
+            os.path.getmtime(os.path.join(_CSRC, s)) for s in _SOURCES
+        )
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < newest:
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.sw_traceback_batch.restype = None

@@ -143,3 +143,61 @@ def test_write_str_to_file_creates_dirs(tmp_path):
     target = tmp_path / "out" / "nested" / "r.txt"
     assert write_str_to_file(target, "hello")
     assert target.read_text() == "hello"
+
+
+def test_native_parser_matches_python(tmp_path):
+    # Byte-for-byte parity of csrc/fasta.c vs the Python line parser on
+    # a file exercising: multi-record, empty sequence record, blank
+    # lines, \r\n endings, whitespace inside sequence lines.
+    import pytest
+
+    from sparksmithwaterman_tpu.io import fasta
+
+    try:
+        from sparksmithwaterman_tpu.io._native_io import parse_ref_native
+        parse_ref_native.__wrapped__ if False else None
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+
+    p = tmp_path / "r.fna"
+    content = (
+        ">gi|1|first record  \n"
+        "ACGT\r\n"
+        "  TTAA\n"
+        "\n"
+        ">gi|2|empty\n"
+        ">gi|3|last\n"
+        "acgtACGT\n"
+    )
+    p.write_bytes(content.encode())
+    try:
+        got = parse_ref_native(p, ">gi")
+    except RuntimeError:
+        pytest.skip("native build failed")
+    want = fasta._get_ref_seqs_py(p, ">gi")
+    assert got == want
+
+
+def test_native_parser_error_parity(tmp_path):
+    import pytest
+
+    from sparksmithwaterman_tpu.io import fasta
+
+    try:
+        from sparksmithwaterman_tpu.io._native_io import parse_ref_native
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+
+    p = tmp_path / "bad.fna"
+    p.write_text("ACGT\n>gi|1|x\nACGT\n")
+    try:
+        with pytest.raises(ValueError):
+            parse_ref_native(p, ">gi")
+    except RuntimeError:
+        pytest.skip("native build failed")
+    with pytest.raises(ValueError):
+        fasta._get_ref_seqs_py(p, ">gi")
+    empty = tmp_path / "empty.fna"
+    empty.write_text("")
+    with pytest.raises(ValueError):
+        parse_ref_native(empty, ">gi")
