@@ -76,6 +76,22 @@ def _add_bench(sub):
     )
 
 
+def _add_scaling(sub):
+    p = sub.add_parser(
+        "scaling",
+        help="multi-device strong-scaling sweep (refs mesh axis)",
+    )
+    p.add_argument(
+        "--devices",
+        default=None,
+        help="comma-separated device counts, e.g. 1,2,4,8 (default: powers of 2 up to available)",
+    )
+    p.add_argument("--num-reads", type=int, default=32)
+    p.add_argument("--read-len", type=int, default=64)
+    p.add_argument("--num-refs", type=int, default=64)
+    p.add_argument("--ref-len", type=int, default=512)
+
+
 def enable_compile_cache() -> None:
     """Persist XLA executables across processes.
 
@@ -127,6 +143,7 @@ def main(argv=None) -> int:
     _add_info(sub)
     _add_gen(sub)
     _add_bench(sub)
+    _add_scaling(sub)
     args = parser.parse_args(argv)
 
     if args.command == "align":
@@ -173,6 +190,24 @@ def main(argv=None) -> int:
             args.data_dir, args.out_dir, args.strategy, args.sweeps
         )
         print(json.dumps(results, indent=1))
+        return 0
+
+    if args.command == "scaling":
+        import json
+
+        from sparksmithwaterman_tpu.metrics.scaling import measure_scaling
+
+        counts = (
+            [int(x) for x in args.devices.split(",")] if args.devices else None
+        )
+        rows = measure_scaling(
+            counts,
+            num_reads=args.num_reads,
+            read_len=args.read_len,
+            num_refs=args.num_refs,
+            ref_len=args.ref_len,
+        )
+        print(json.dumps(rows, indent=1))
         return 0
 
     return 1

@@ -66,3 +66,9 @@ class AlignConfig:
     use_pallas: bool = True  # Pallas kernel on TPU; lax fallback elsewhere
     kernel: str = "diag"  # 'diag' (wavefront, fast) | 'row' (prefix-max)
     read_block: int = 64  # 'row' kernel read-block (pairs per program)
+    # Accumulate reference sequences across files up to this many base
+    # pairs before each scoring dispatch.  The reference corpus is 518
+    # files averaging ~50 Mbp (README.md:36-38); scoring strictly
+    # per-file (as the reference's loop does, Distribution.java:578)
+    # leaves small files under-batched.  Memory: ~2 bytes/bp held.
+    ref_batch_bp: int = 32_000_000

@@ -1,0 +1,98 @@
+"""Multi-device scaling-efficiency harness.
+
+The reference's distributed experiments measured wall-clock per input
+file on a Spark cluster and left the numbers in scattered reports
+(``src/metrics/ExecutionTimes*.java``; no results are committed).  This
+harness measures the TPU-native equivalent directly: the device-resident
+``sharded_totals`` hot path on meshes of increasing size, reporting
+cells/s and the scaling efficiency ``rate_n / (n * rate_1)`` —
+BASELINE.md's >= 80% multi-host target, measurable on real pods and
+mechanically validated on virtual CPU meshes
+(``--xla_force_host_platform_device_count``).
+
+The refs axis is scaled (the reference's DistributeReference strategy,
+``src/sw/Distribution.java:227-373``): reference shards are independent,
+so ideal scaling is linear and any gap is runtime overhead, not
+algorithmic communication.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+from sparksmithwaterman_tpu.parallel.engine import sharded_totals
+from sparksmithwaterman_tpu.parallel.mesh import build_mesh
+
+
+def _workload(num_reads: int, read_len: int, num_refs: int, ref_len: int):
+    rng = np.random.default_rng(0)
+    alphabet = np.array(list("ACGT"))
+    reads = ["".join(rng.choice(alphabet, size=read_len)) for _ in range(num_reads)]
+    refs = ["".join(rng.choice(alphabet, size=ref_len)) for _ in range(num_refs)]
+    return (
+        encode_batch(reads, read_len, READ_PAD),
+        encode_batch(refs, ref_len, REF_PAD),
+    )
+
+
+def measure_scaling(
+    device_counts: Optional[Sequence[int]] = None,
+    *,
+    num_reads: int = 32,
+    read_len: int = 64,
+    num_refs: int = 64,
+    ref_len: int = 512,
+    iters: int = 3,
+    params=(5, -3, -4),
+) -> List[Dict]:
+    """Strong-scaling sweep of ``sharded_totals`` over the refs axis.
+
+    Fixed total workload; each row reports the measured rate and the
+    efficiency vs the single-device rate.  ``num_refs`` must divide by
+    every requested device count.
+    """
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    reads_enc, refs_enc = _workload(num_reads, read_len, num_refs, ref_len)
+    cells = num_reads * read_len * num_refs * ref_len
+    p = tuple(np.int32(v) for v in params)
+
+    rows: List[Dict] = []
+    base_rate = None
+    want = None
+    for n in device_counts:
+        if n > n_avail:
+            continue
+        if num_refs % n:
+            raise ValueError(f"num_refs={num_refs} must divide by devices={n}")
+        mesh = build_mesh((n, 1), n_devices=n)
+        run = lambda: sharded_totals(reads_enc, refs_enc, *p, mesh=mesh)
+        out = np.asarray(run())  # compile + settle
+        if want is None:
+            want = out
+        elif not np.array_equal(out, want):
+            raise AssertionError(f"totals diverge at {n} devices")
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = run()
+        np.asarray(r)
+        dt = (time.perf_counter() - t0) / iters
+        rate = cells / dt
+        if base_rate is None:
+            base_rate = rate
+        rows.append(
+            {
+                "devices": n,
+                "seconds": round(dt, 6),
+                "gcups": round(rate / 1e9, 3),
+                "efficiency": round(rate / (n * base_rate), 3),
+            }
+        )
+    return rows

@@ -97,18 +97,38 @@ def run_pipeline(config: AlignConfig, backend=None, resume: bool = False) -> Lis
         winners: List[Tuple[str, str]] = []
 
         # Stream reference files (the reference streams too,
-        # Distribution.java:578-616); totals are computed per file batch.
-        for ref_file in iter_files(config.ref_dir):
-            ref_seqs = get_ref_seqs(ref_file, config.delimiter)
-            num_refs += len(ref_seqs)
-            totals = backend.totals(reads, [seq for _, seq in ref_seqs])
-            for (metadata, seq), total in zip(ref_seqs, totals):
+        # Distribution.java:578-616), but accumulate sequences across
+        # files up to ref_batch_bp base pairs per scoring dispatch —
+        # per-file dispatch leaves small files under-batched and the
+        # device idle between launches.  Winner bookkeeping still sees
+        # sequences in exact file/record encounter order.
+        pending: List[Tuple[str, str]] = []
+        pending_bp = 0
+
+        def flush():
+            nonlocal global_max, winners, pending, pending_bp
+            if not pending:
+                return
+            totals = backend.totals(reads, [seq for _, seq in pending])
+            for (metadata, seq), total in zip(pending, totals):
                 total = int(total)
                 if total > global_max:
                     global_max = total
                     winners = [(metadata, seq)]
                 elif total == global_max:
                     winners.append((metadata, seq))
+            pending = []
+            pending_bp = 0
+
+        for ref_file in iter_files(config.ref_dir):
+            ref_seqs = get_ref_seqs(ref_file, config.delimiter)
+            num_refs += len(ref_seqs)
+            for metadata, seq in ref_seqs:
+                pending.append((metadata, seq))
+                pending_bp += len(seq)
+                if pending_bp >= config.ref_batch_bp:
+                    flush()
+        flush()
 
         # Traceback pass: only the winning references (the reference
         # computes these inline per pair; the result set is identical).

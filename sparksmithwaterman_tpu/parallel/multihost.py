@@ -108,17 +108,34 @@ def run_multihost_pipeline(
         local_refs = 0
         # Winner candidates: (file_idx, seq_idx, metadata, sequence).
         winners: List[Tuple[int, int, str, str]] = []
-        for file_idx, ref_file in my_files:
-            ref_seqs = get_ref_seqs(ref_file, config.delimiter)
-            local_refs += len(ref_seqs)
-            totals = backend.totals(reads, [seq for _, seq in ref_seqs])
-            for seq_idx, ((metadata, seq), total) in enumerate(zip(ref_seqs, totals)):
+        # Cross-file dispatch batching, as in models/pipeline.py.
+        pending: List[Tuple[int, int, str, str]] = []
+        pending_bp = 0
+
+        def flush():
+            nonlocal local_max, winners, pending, pending_bp
+            if not pending:
+                return
+            totals = backend.totals(reads, [seq for _, _, _, seq in pending])
+            for (file_idx, seq_idx, metadata, seq), total in zip(pending, totals):
                 total = int(total)
                 if total > local_max:
                     local_max = total
                     winners = [(file_idx, seq_idx, metadata, seq)]
                 elif total == local_max:
                     winners.append((file_idx, seq_idx, metadata, seq))
+            pending = []
+            pending_bp = 0
+
+        for file_idx, ref_file in my_files:
+            ref_seqs = get_ref_seqs(ref_file, config.delimiter)
+            local_refs += len(ref_seqs)
+            for seq_idx, (metadata, seq) in enumerate(ref_seqs):
+                pending.append((file_idx, seq_idx, metadata, seq))
+                pending_bp += len(seq)
+                if pending_bp >= config.ref_batch_bp:
+                    flush()
+        flush()
 
         all_best = _allgather_best(local_max, host)
         global_max = int(all_best.max())

@@ -114,3 +114,16 @@ class TestExecutionTimes:
         assert all(row["ms"] >= 0 for rows in results.values() for rows2 in [rows] for row in rows2)
         summary = tmp_path / "out" / "batch" / "read_len_summary.json"
         assert json.load(open(summary)) == results["read_len"]
+
+
+def test_scaling_harness_virtual_mesh():
+    # 8 virtual CPU devices (conftest): mechanics + cross-mesh parity.
+    from sparksmithwaterman_tpu.metrics.scaling import measure_scaling
+
+    rows = measure_scaling(
+        [1, 2, 4], num_reads=8, read_len=16, num_refs=8, ref_len=64, iters=1
+    )
+    assert [r["devices"] for r in rows] == [1, 2, 4]
+    assert rows[0]["efficiency"] == 1.0
+    for r in rows:
+        assert r["gcups"] > 0
