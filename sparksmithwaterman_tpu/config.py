@@ -62,7 +62,6 @@ class AlignConfig:
     strategy: str = "batch"  # serial | batch | shard_refs | shard_reads
     read_bucket: int = 128  # pad reads up to multiples of this
     ref_bucket: int = 256  # pad refs up to multiples of this
-    max_pairs_per_call: int = 1 << 14  # chunk the (read, ref) pair grid
     use_pallas: bool = True  # Pallas kernel on TPU; lax fallback elsewhere
     kernel: str = "diag"  # 'diag' (wavefront, fast) | 'row' (prefix-max)
     read_block: int = 64  # 'row' kernel read-block (pairs per program)

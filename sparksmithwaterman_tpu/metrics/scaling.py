@@ -63,6 +63,11 @@ def measure_scaling(
     reads_enc, refs_enc = _workload(num_reads, read_len, num_refs, ref_len)
     cells = num_reads * read_len * num_refs * ref_len
     p = tuple(np.int32(v) for v in params)
+    kernel_params = None
+    if jax.default_backend() == "tpu":
+        rb = min(256, num_reads)
+        if num_reads % rb == 0:
+            kernel_params = tuple(int(v) for v in params) + (rb,)
 
     rows: List[Dict] = []
     base_rate = None
@@ -73,7 +78,9 @@ def measure_scaling(
         if num_refs % n:
             raise ValueError(f"num_refs={num_refs} must divide by devices={n}")
         mesh = build_mesh((n, 1), n_devices=n)
-        run = lambda: sharded_totals(reads_enc, refs_enc, *p, mesh=mesh)
+        run = lambda: sharded_totals(
+            reads_enc, refs_enc, *p, mesh=mesh, kernel_params=kernel_params
+        )
         out = np.asarray(run())  # compile + settle
         if want is None:
             want = out

@@ -186,11 +186,17 @@ def _sharded_lax_call(
     return block(reads, refs, match, mismatch, gap)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mesh", "reads_axis", "refs_axis")
-)
 def sharded_totals(
-    reads, refs, match, mismatch, gap, *, mesh: Mesh, reads_axis="reads", refs_axis="refs"
+    reads,
+    refs,
+    match,
+    mismatch,
+    gap,
+    *,
+    mesh: Mesh,
+    reads_axis="reads",
+    refs_axis="refs",
+    kernel_params=None,
 ):
     """(C,) per-reference totals; the reads-axis partial sums meet in a psum.
 
@@ -199,8 +205,101 @@ def sharded_totals(
     (score, ref, sites) tuple to the driver,
     ``src/sw/Distribution.java:341-353``).  int32: callers chunk R so a
     chunk's total fits (pipeline accumulates across chunks in int64).
-    """
 
+    ``kernel_params``: as in :func:`sharded_score_grid` — a static
+    ``(match, mismatch, gap, read_block)`` tuple selects the Pallas
+    wavefront kernel per shard (windows pre-built sharded, see there).
+    """
+    if kernel_params is not None:
+        from jax.sharding import NamedSharding
+
+        from sparksmithwaterman_tpu.ops.pallas_score import _diag_windows
+
+        m = reads.shape[1]
+        n = refs.shape[1]
+        diags = m + n - 1
+        unroll = 32
+        t_pad = -(-(diags + unroll - 1) // 8) * 8
+        refs_sharded = jax.device_put(
+            np.asarray(refs, np.int32),
+            NamedSharding(mesh, P(refs_axis, None)),
+        )
+        windows = _diag_windows(refs_sharded, m, t_pad)
+        return _sharded_totals_diag_call(
+            jnp.asarray(reads).astype(jnp.int32),
+            windows,
+            mesh=mesh,
+            reads_axis=reads_axis,
+            refs_axis=refs_axis,
+            kernel_params=kernel_params,
+            diags=diags,
+            unroll=unroll,
+        )
+    return _sharded_totals_lax_call(
+        reads,
+        refs,
+        jnp.asarray(match, jnp.int32),
+        jnp.asarray(mismatch, jnp.int32),
+        jnp.asarray(gap, jnp.int32),
+        mesh=mesh,
+        reads_axis=reads_axis,
+        refs_axis=refs_axis,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "reads_axis", "refs_axis", "kernel_params", "diags", "unroll"
+    ),
+)
+def _sharded_totals_diag_call(
+    reads_i,
+    windows,
+    *,
+    mesh: Mesh,
+    reads_axis,
+    refs_axis,
+    kernel_params,
+    diags,
+    unroll,
+):
+    from sparksmithwaterman_tpu.ops.pallas_score import _score_diag_call
+
+    km, kmm, kg, rb = kernel_params
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(reads_axis, None), P(refs_axis, None, None)),
+        out_specs=P(refs_axis),
+        check_vma=False,
+    )
+    def block(reads_blk, windows_blk):
+        scores = _score_diag_call(
+            reads_blk,
+            windows_blk,
+            match=km,
+            mismatch=kmm,
+            gap=kg,
+            read_block=rb,
+            diags=diags,
+            dtype=jnp.int32,
+            unroll=unroll,
+            interpret=False,
+        )
+        local = jnp.sum(scores, axis=0, dtype=jnp.int32)
+        return jax.lax.psum(local, reads_axis)
+
+    return block(reads_i, windows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "reads_axis", "refs_axis")
+)
+def _sharded_totals_lax_call(
+    reads, refs, match, mismatch, gap, *, mesh: Mesh, reads_axis, refs_axis
+):
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -213,13 +312,7 @@ def sharded_totals(
         local = jnp.sum(scores, axis=0, dtype=jnp.int32)  # (C/dc,)
         return jax.lax.psum(local, reads_axis)
 
-    return block(
-        reads,
-        refs,
-        jnp.asarray(match, jnp.int32),
-        jnp.asarray(mismatch, jnp.int32),
-        jnp.asarray(gap, jnp.int32),
-    )
+    return block(reads, refs, match, mismatch, gap)
 
 
 class ShardedBackend(BatchBackend):
