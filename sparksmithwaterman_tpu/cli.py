@@ -37,6 +37,11 @@ def _add_align(sub):
         action="store_true",
         help="skip input files already completed per the out-dir journal",
     )
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="write a jax.profiler trace of the run to this directory",
+    )
 
 
 def _add_info(sub):
@@ -162,7 +167,10 @@ def main(argv=None) -> int:
             ),
             strategy=args.strategy,
         )
-        paths = run_pipeline(config, resume=args.resume)
+        from sparksmithwaterman_tpu.utils.profiling import profiler_trace
+
+        with profiler_trace(args.profile_dir):
+            paths = run_pipeline(config, resume=args.resume)
         for p in paths:
             print(p)
         return 0

@@ -95,3 +95,17 @@ def test_sites_sorted_by_index(tmp_path):
     indices = [int(m) for m in re.findall(r"Index = (\d+)", text)]
     assert indices == sorted(indices)
     assert indices == [5, 13]
+
+
+def test_ref_batch_bp_flush_parity(tiny_dataset, tmp_path):
+    # A 1-bp dispatch budget forces a flush after every sequence —
+    # including mid-file — and must not change winners or report bytes.
+    ref_dir, in_dir, out_dir = tiny_dataset
+    base = run_pipeline(_config(ref_dir, in_dir, tmp_path / "o1", strategy="batch"))
+    tiny = run_pipeline(
+        _config(ref_dir, in_dir, tmp_path / "o2", strategy="batch", ref_batch_bp=1)
+    )
+    strip = lambda p: re.sub(
+        r"Execution Time = \d+ ms", "", open(p).read()
+    )
+    assert strip(base[0]) == strip(tiny[0])
