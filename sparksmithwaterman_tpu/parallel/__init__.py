@@ -12,6 +12,7 @@ from sparksmithwaterman_tpu.parallel.engine import (
     sharded_score_grid,
     sharded_totals,
 )
+from sparksmithwaterman_tpu.parallel.seqparallel import seqparallel_scores
 
 __all__ = [
     "build_mesh",
@@ -19,4 +20,5 @@ __all__ = [
     "ShardedBackend",
     "sharded_score_grid",
     "sharded_totals",
+    "seqparallel_scores",
 ]

@@ -1,0 +1,200 @@
+"""Sequence parallelism: one reference sharded along its LENGTH.
+
+The reference's only long-sequence mechanism is the intra-matrix
+wavefront (``src/sw/DistributedSW.java:164-245``): anti-diagonals of one
+DP matrix become parallel units, with S/E/SE score "broadcasts" carrying
+the dependence between generations.  On TPU, the intra-chip version of
+that wavefront is the Pallas kernel (:mod:`..ops.pallas_score`); this
+module is the **cross-chip** version for references too long for one
+core's VMEM: the reference sequence is sharded along its length over a
+``seq`` mesh axis, and the DP recurrence crosses the segment boundary by
+ring-passing the band-boundary column to the next chip with
+``jax.lax.ppermute`` — the TPU-native restatement of the reference's
+``Broadcast`` of S/E/SE neighbor scores (``src/sw/DistributedSW.java:364-417``),
+riding ICI instead of a Spark collect.
+
+Schedule (pipelined tile wavefront): the (M+1)x(N+1) DP matrix is tiled
+into row *stripes* (height ``stripe``) x ref *segments* (one per chip).
+Chip ``k`` processes stripe ``s`` of its segment in round ``t = s + k``;
+the boundary it needs — column ``H[:, j0-1]`` for the stripe's rows plus
+the corner ``H[i0-1, j0-1]`` — was produced by chip ``k-1`` in round
+``t-1`` and arrives via a single ``ppermute`` hop per round.  After
+``T + S - 1`` rounds every tile is filled; per-chip running maxima meet
+in a ``pmax``.
+
+Why passing one column suffices (linear gap): within a row,
+
+    H[i][j] = max( max_{k<=j}(A[k] + gap*(j-k)),  Hb[i] + gap*(j+1) )
+
+where ``A`` is the local candidate (align/insert/zero) and ``Hb[i]`` is
+the left segment's last column — the W-chain contribution of *everything*
+left of the boundary reaches the segment only through ``Hb[i]``, decaying
+linearly.  So the cross-chip traffic is O(stripe) ints per round per
+chip, independent of segment width.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.4.35 exports shard_map at top level
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+
+
+def _device_fill(reads_t, seg_ref, match, mismatch, gap, *, stripe, axis):
+    """Per-chip body: fill this chip's segment band, stripe by stripe.
+
+    reads_t: (M, B) int32 read chars (replicated), M % stripe == 0.
+    seg_ref: (Ns,) int32 local reference segment.
+    Returns (B,) int32 global max scores (pmax'd, replicated).
+    """
+    m, b = reads_t.shape
+    ns = seg_ref.shape[0]
+    num_stripes = m // stripe
+    k = jax.lax.axis_index(axis)
+    size = jax.lax.psum(1, axis)
+    rounds = num_stripes + size - 1
+
+    ramp = gap * jnp.arange(ns, dtype=jnp.int32)
+    # W-chain decay of the left-boundary column into local columns.
+    left_ramp = gap * (jnp.arange(ns, dtype=jnp.int32) + 1)
+    perm = [(i, i + 1) for i in range(size - 1)]  # chip 0 receives zeros
+
+    def row_update(h_prev, xs):
+        read_c, lcol, lprev = xs  # (B,), (B,), (B,)
+        sub = jnp.where(
+            seg_ref[None, :] == read_c[:, None], match, mismatch
+        )
+        nw = jnp.concatenate([lprev[:, None], h_prev[:, :-1]], axis=1)
+        a = nw + sub
+        ins = h_prev + gap
+        cand = jnp.maximum(jnp.maximum(a, ins), 0)
+        chain = jax.lax.cummax(cand - ramp, axis=1) + ramp
+        h = jnp.maximum(chain, lcol[:, None] + left_ramp[None, :])
+        return h, (h[:, -1], jnp.max(h, axis=1))
+
+    def round_body(t, carry):
+        h_prev, best, out_bound, corner = carry
+        # Boundary produced by the left chip last round arrives this round.
+        in_bound = jax.lax.ppermute(out_bound, axis, perm)  # (stripe, B)
+        s = t - k
+        active = jnp.logical_and(s >= 0, s < num_stripes)
+        start = jnp.clip(s * stripe, 0, m - stripe)
+        stripe_reads = jax.lax.dynamic_slice(
+            reads_t, (start, 0), (stripe, b)
+        )
+        lprev_arr = jnp.concatenate(
+            [corner[None, :], in_bound[:-1]], axis=0
+        )
+        h_new, (bounds, row_maxes) = jax.lax.scan(
+            row_update, h_prev, (stripe_reads, in_bound, lprev_arr)
+        )
+        best_new = jnp.maximum(best, jnp.max(row_maxes, axis=0))
+        # Inactive rounds must not disturb state: a chip that hasn't
+        # started (s < 0) must keep emitting zero boundaries, and a chip
+        # that finished (s >= num_stripes) must keep its band state.
+        sel = lambda n, o: jnp.where(active, n, o)
+        return (
+            sel(h_new, h_prev),
+            sel(best_new, best),
+            jnp.where(active, bounds, jnp.zeros_like(bounds)),
+            sel(in_bound[-1], corner),
+        )
+
+    init = (
+        jnp.zeros((b, ns), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((stripe, b), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+    )
+    _, best, _, _ = jax.lax.fori_loop(0, rounds, round_body, init)
+    return jax.lax.pmax(best, axis)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "stripe")
+)
+def _seqp_call(reads, ref, match, mismatch, gap, *, mesh, axis, stripe):
+    reads_t = reads.astype(jnp.int32).T  # (M, B)
+    ref_i = ref.astype(jnp.int32)
+    fn = shard_map(
+        functools.partial(
+            _device_fill, stripe=stripe, axis=axis
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(
+        reads_t, ref_i,
+        jnp.int32(match), jnp.int32(mismatch), jnp.int32(gap),
+    )
+
+
+def seqparallel_scores(
+    reads,
+    ref: str,
+    match: int,
+    mismatch: int,
+    gap: int,
+    *,
+    mesh: Mesh,
+    axis: str = "seq",
+    stripe: int = 8,
+):
+    """Max SW score of each read against ONE length-sharded reference.
+
+    Args:
+      reads: sequence of read strings (or a pre-encoded (B, M) uint8
+        array, 0-padded).
+      ref: the reference sequence string (or (N,) uint8, 1-padded).
+      mesh: mesh whose ``axis`` dimension shards the reference length.
+      stripe: rows per pipeline round (trade pipeline fill latency
+        against per-round boundary-exchange overhead).
+
+    Returns:
+      (B,) int32 max scores — bitwise equal to the serial oracle.
+
+    Padding is benign by construction: pad codes match nothing and
+    mismatch/gap < 0, so padded rows/columns strictly decay (the same
+    contract as :func:`..ops.recurrence.score_pairs`).
+    """
+    size = mesh.shape[axis]
+    if isinstance(reads, np.ndarray):
+        reads_enc = reads
+    else:
+        m = max((len(r) for r in reads), default=1)
+        m = max(-(-m // stripe) * stripe, stripe)
+        reads_enc = encode_batch(list(reads), m, READ_PAD)
+    if reads_enc.shape[1] % stripe != 0:
+        pad = -(-reads_enc.shape[1] // stripe) * stripe - reads_enc.shape[1]
+        reads_enc = np.pad(reads_enc, ((0, 0), (0, pad)), constant_values=READ_PAD)
+    if isinstance(ref, np.ndarray):
+        ref_enc = ref
+    else:
+        n = max(-(-len(ref) // size) * size, size)
+        ref_enc = encode_batch([ref], n, REF_PAD)[0]
+    if ref_enc.shape[0] % size != 0:
+        pad = -(-ref_enc.shape[0] // size) * size - ref_enc.shape[0]
+        ref_enc = np.pad(ref_enc, (0, pad), constant_values=REF_PAD)
+
+    reads_d = jax.device_put(
+        jnp.asarray(reads_enc), NamedSharding(mesh, P(None, None))
+    )
+    ref_d = jax.device_put(
+        jnp.asarray(ref_enc), NamedSharding(mesh, P(axis))
+    )
+    return _seqp_call(
+        reads_d, ref_d, int(match), int(mismatch), int(gap),
+        mesh=mesh, axis=axis, stripe=int(stripe),
+    )
