@@ -49,6 +49,13 @@ def _add_info(sub):
     p.add_argument("--ref-dir", required=True)
     p.add_argument("--out-file", required=True)
     p.add_argument("--delimiter", default=">gi")
+    p.add_argument(
+        "--threads",
+        type=int,
+        default=1,
+        help="parse files on a thread pool (the reference's abandoned "
+        "threadedMetrics rewrite, implemented)",
+    )
 
 
 def _add_gen(sub):
@@ -176,9 +183,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "info":
-        from sparksmithwaterman_tpu.metrics.refset_info import print_all_info
+        if args.threads > 1:
+            from sparksmithwaterman_tpu.metrics.threaded_refset_info import (
+                print_all_info_threaded,
+            )
 
-        print_all_info(args.ref_dir, args.out_file, args.delimiter)
+            print_all_info_threaded(
+                args.ref_dir, args.out_file, args.delimiter, args.threads
+            )
+        else:
+            from sparksmithwaterman_tpu.metrics.refset_info import print_all_info
+
+            print_all_info(args.ref_dir, args.out_file, args.delimiter)
         print(args.out_file)
         return 0
 

@@ -8,6 +8,10 @@ from sparksmithwaterman_tpu.metrics.refset_info import (
     get_info,
     print_all_info,
 )
+from sparksmithwaterman_tpu.metrics.threaded_refset_info import (
+    get_info_threaded,
+    print_all_info_threaded,
+)
 from sparksmithwaterman_tpu.metrics import engineer_data
 from sparksmithwaterman_tpu.metrics.execution_times import run_sweeps
 
@@ -16,7 +20,9 @@ __all__ = [
     "RefSetInfo",
     "format_info",
     "get_info",
+    "get_info_threaded",
     "print_all_info",
+    "print_all_info_threaded",
     "engineer_data",
     "run_sweeps",
 ]

@@ -102,6 +102,37 @@ class TestRefSetInfo:
         assert "File Name" in text and "|# Sequences" in text
         assert "-----------------------------------+-----------" in text
 
+    def test_threaded_matches_serial(self, tmp_path):
+        """The threaded rewrite (the reference's abandoned
+        threadedMetrics.InfoRefSet stub, built for real) is
+        result-identical to the serial crawl, report included."""
+        from sparksmithwaterman_tpu.metrics.threaded_refset_info import (
+            get_info_threaded,
+            print_all_info_threaded,
+        )
+        from sparksmithwaterman_tpu.metrics.refset_info import format_info
+
+        ref_dir = tmp_path / "refs"
+        engineer_data.change_ref_num(str(ref_dir), scale=0.2)
+        engineer_data.change_ref_len(str(ref_dir / "lens"), scale=0.1)
+        serial = get_info(str(ref_dir))
+        threaded = get_info_threaded(str(ref_dir), workers=5)
+        assert format_info(threaded) == format_info(serial)
+        out = str(tmp_path / "tinfo.txt")
+        print_all_info_threaded(str(ref_dir), out, workers=3)
+        assert open(out).read() == format_info(serial)
+
+    def test_threaded_empty_dir(self, tmp_path):
+        from sparksmithwaterman_tpu.metrics.threaded_refset_info import (
+            get_info_threaded,
+        )
+
+        ref_dir = tmp_path / "empty"
+        ref_dir.mkdir()
+        info = get_info_threaded(str(ref_dir))
+        assert info.num_files == 0 and info.num_seqs == 0
+        assert info.median_bp == 0.0 and info.mean_bp == 0.0
+
 
 class TestExecutionTimes:
     def test_run_sweeps_end_to_end(self, tmp_path):
