@@ -30,7 +30,7 @@ def _add_align(sub):
     p.add_argument(
         "--strategy",
         default="batch",
-        choices=["serial", "batch", "wavefront", "shard_refs", "shard_reads"],
+        choices=["serial", "batch", "wavefront", "shard_refs", "shard_reads", "shard_seq"],
     )
     p.add_argument(
         "--resume",

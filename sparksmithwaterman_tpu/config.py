@@ -59,7 +59,7 @@ class AlignConfig:
     scoring: ScoringScheme = dataclasses.field(default_factory=ScoringScheme)
 
     # Engine knobs (no equivalent in the reference; TPU-native additions).
-    strategy: str = "batch"  # serial | batch | shard_refs | shard_reads
+    strategy: str = "batch"  # serial | batch | shard_refs | shard_reads | shard_seq
     read_bucket: int = 128  # pad reads up to multiples of this
     ref_bucket: int = 256  # pad refs up to multiples of this
     use_pallas: bool = True  # Pallas kernel on TPU; lax fallback elsewhere

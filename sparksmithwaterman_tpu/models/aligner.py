@@ -70,4 +70,10 @@ def get_backend(config: AlignConfig):
         from sparksmithwaterman_tpu.parallel.engine import ShardedBackend
 
         return ShardedBackend(config)
+    if config.strategy == "shard_seq":
+        from sparksmithwaterman_tpu.parallel.seqparallel import (
+            SeqParallelBackend,
+        )
+
+        return SeqParallelBackend(config)
     raise ValueError(f"Unknown strategy: {config.strategy!r}")

@@ -12,7 +12,10 @@ from sparksmithwaterman_tpu.parallel.engine import (
     sharded_score_grid,
     sharded_totals,
 )
-from sparksmithwaterman_tpu.parallel.seqparallel import seqparallel_scores
+from sparksmithwaterman_tpu.parallel.seqparallel import (
+    SeqParallelBackend,
+    seqparallel_scores,
+)
 
 __all__ = [
     "build_mesh",
@@ -20,5 +23,6 @@ __all__ = [
     "ShardedBackend",
     "sharded_score_grid",
     "sharded_totals",
+    "SeqParallelBackend",
     "seqparallel_scores",
 ]

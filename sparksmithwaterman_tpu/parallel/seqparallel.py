@@ -198,3 +198,67 @@ def seqparallel_scores(
         reads_d, ref_d, int(match), int(mismatch), int(gap),
         mesh=mesh, axis=axis, stripe=int(stripe),
     )
+
+
+class SeqParallelBackend:
+    """Pipeline backend: every reference length-sharded over ALL devices.
+
+    The ``shard_seq`` strategy — the cross-chip form of the reference's
+    ``DistributeAlgorithm`` (one DP matrix distributed,
+    ``src/sw/Distribution.java:63-214``).  ``totals`` scores each
+    reference with its length spread across the mesh; the traceback pass
+    (tiny: winning refs only) delegates to the single-host
+    :class:`..models.batch_backend.BatchBackend`, whose long-reference
+    windowed mode already bounds memory.
+    """
+
+    def __init__(self, config, mesh: Mesh | None = None):
+        import jax as _jax
+
+        from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+        if mesh is None:
+            n = len(_jax.devices())
+            from sparksmithwaterman_tpu.parallel.mesh import build_mesh
+
+            mesh = build_mesh((n,), axis_names=("seq",), n_devices=n)
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.stripe = 8
+        self._inner = BatchBackend(config)
+        self.scoring = config.scoring
+        self.read_bucket = config.read_bucket
+        self.ref_bucket = config.ref_bucket
+        self.gcups = self._inner.gcups
+
+    def _encode_reads(self, reads):
+        m = max((len(r) for r in reads), default=1)
+        m = max(-(-m // self.read_bucket) * self.read_bucket, self.stripe)
+        m = -(-m // self.stripe) * self.stripe
+        return encode_batch(list(reads), m, READ_PAD)
+
+    def totals(self, reads, ref_seqs):
+        totals = np.zeros(len(ref_seqs), dtype=np.int64)
+        if not reads or not ref_seqs:
+            return totals
+        reads_enc = self._encode_reads(reads)
+        size = self.mesh.shape[self.axis]
+        quantum = size * self.ref_bucket
+        s = self.scoring
+        for k, ref in enumerate(ref_seqs):
+            # Quantize the padded length so ragged refs reuse compiles.
+            n = max(-(-len(ref) // quantum) * quantum, quantum)
+            ref_enc = encode_batch([ref], n, REF_PAD)[0]
+            real_cells = len(ref) * sum(len(r) for r in reads)
+            with self.gcups.measure(real_cells):
+                scores = np.asarray(
+                    seqparallel_scores(
+                        reads_enc, ref_enc, s.match, s.mismatch, s.gap,
+                        mesh=self.mesh, axis=self.axis, stripe=self.stripe,
+                    )
+                )
+            totals[k] = int(scores.sum())
+        return totals
+
+    def sites_for_ref(self, ref_seq, reads):
+        return self._inner.sites_for_ref(ref_seq, reads)

@@ -66,6 +66,34 @@ def test_seqparallel_alignment_spans_boundary(make_seq):
     np.testing.assert_array_equal(got, _want([read], ref))
 
 
+def test_seqparallel_backend_strategy(tmp_path, make_seq):
+    """The shard_seq pipeline strategy is total- and site-identical to
+    the single-host batch backend on ragged real-ish inputs."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models.aligner import get_backend
+    from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+    config = AlignConfig(
+        ref_dir=str(tmp_path),
+        in_dir=str(tmp_path),
+        out_dir=str(tmp_path),
+        strategy="shard_seq",
+        read_bucket=16,
+        ref_bucket=32,
+    )
+    rng = np.random.default_rng(7)
+    reads = [make_seq(int(l)) for l in rng.integers(1, 15, 9)]
+    refs = [make_seq(int(l)) for l in rng.integers(5, 90, 4)]
+    seqp = get_backend(config)
+    batch = BatchBackend(config)
+    np.testing.assert_array_equal(
+        seqp.totals(reads, refs), batch.totals(reads, refs)
+    )
+    assert seqp.sites_for_ref(refs[0], reads) == batch.sites_for_ref(
+        refs[0], reads
+    )
+
+
 def test_seqparallel_encoded_inputs(make_seq):
     mesh = build_mesh((4,), axis_names=("seq",), n_devices=4)
     reads_enc = encode_batch([make_seq(16), make_seq(12)], 16, READ_PAD)
