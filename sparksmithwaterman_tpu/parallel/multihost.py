@@ -82,14 +82,40 @@ def _barrier(host: HostConfig, name: str) -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def _shard_key(in_file: str, my_files: Sequence[Tuple[int, str]]) -> str:
+    """Identity of one (input, manifest shard) scoring task.
+
+    Idempotence contract: the shard result is a pure function of the
+    input file and the shard's reference files, so the journal entry is
+    valid iff none of them changed (mtimes).  This is the per-shard
+    result journal SURVEY.md §5 calls for — the reference's only fault
+    tolerance was Spark's implicit lineage re-execution.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"{in_file}:{os.path.getmtime(in_file)}".encode())
+    for idx, f in my_files:
+        h.update(f"{idx}:{f}:{os.path.getmtime(f)}".encode())
+    return h.hexdigest()[:16]
+
+
 def run_multihost_pipeline(
-    config: AlignConfig, host: HostConfig = HostConfig(), backend=None
+    config: AlignConfig,
+    host: HostConfig = HostConfig(),
+    backend=None,
+    resume: bool = False,
 ) -> List[str]:
     """Full pipeline with the reference set sharded across hosts.
 
     All hosts see the same in_dir/ref_dir/out_dir (shared filesystem —
     the HDFS assumption of the reference's Spark design).  Process 0
     writes the final reports; every process returns their paths.
+
+    With ``resume=True``, a host whose per-shard journal matches the
+    current (input, shard manifest) skips rescoring its shard and
+    replays the journaled partial result — elastic restart after a host
+    failure costs only the failed shard's work.
     """
     if backend is None:
         backend = get_backend(config)
@@ -103,6 +129,20 @@ def run_multihost_pipeline(
         input_num += 1
         reads = get_reads(in_file, config.delimiter)
         t0 = time.monotonic()
+
+        journal_path = os.path.join(
+            partial_dir, f"input{input_num}.host{host.process_id}.journal.json"
+        )
+        shard_key = _shard_key(in_file, my_files)
+        journaled = None
+        if resume and os.path.exists(journal_path):
+            try:
+                with open(journal_path) as f:
+                    entry = json.load(f)
+                if entry.get("key") == shard_key:
+                    journaled = entry
+            except (json.JSONDecodeError, OSError):
+                journaled = None  # truncated write — redo the shard
 
         local_max = 0
         local_refs = 0
@@ -127,15 +167,33 @@ def run_multihost_pipeline(
             pending = []
             pending_bp = 0
 
-        for file_idx, ref_file in my_files:
-            ref_seqs = get_ref_seqs(ref_file, config.delimiter)
-            local_refs += len(ref_seqs)
-            for seq_idx, (metadata, seq) in enumerate(ref_seqs):
-                pending.append((file_idx, seq_idx, metadata, seq))
-                pending_bp += len(seq)
-                if pending_bp >= config.ref_batch_bp:
-                    flush()
-        flush()
+        if journaled is not None:
+            local_max = int(journaled["local_max"])
+            local_refs = int(journaled["local_refs"])
+            winners = [tuple(w) for w in journaled["winners"]]
+        else:
+            for file_idx, ref_file in my_files:
+                ref_seqs = get_ref_seqs(ref_file, config.delimiter)
+                local_refs += len(ref_seqs)
+                for seq_idx, (metadata, seq) in enumerate(ref_seqs):
+                    pending.append((file_idx, seq_idx, metadata, seq))
+                    pending_bp += len(seq)
+                    if pending_bp >= config.ref_batch_bp:
+                        flush()
+            flush()
+            os.makedirs(partial_dir, exist_ok=True)
+            tmp = journal_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "key": shard_key,
+                        "local_max": local_max,
+                        "local_refs": local_refs,
+                        "winners": winners,
+                    },
+                    f,
+                )
+            os.replace(tmp, journal_path)  # atomic: no torn journals
 
         all_best = _allgather_best(local_max, host)
         global_max = int(all_best.max())

@@ -98,3 +98,53 @@ def test_simulated_two_host_merge(tmp_path, make_seq):
     text = open(paths[0]).read()
     assert ">gi|2|b" in text
     assert f"Maximum alignment score = {5 * len(read)}" in text
+
+
+def test_per_shard_journal_resume(tmp_path):
+    """A restarted host replays its journaled shard result without
+    rescoring (SURVEY §5: per-shard result journal for elastic restart);
+    a changed reference file invalidates the journal."""
+    refs = tmp_path / "refs"
+    inputs = tmp_path / "in"
+    refs.mkdir(), inputs.mkdir()
+    (refs / "ref1.rna.fna").write_text(">gi|1|alpha\nAACGTACGTTT\n")
+    (inputs / "input1.fa").write_text("ACGTACGT\n")
+    config = AlignConfig(
+        ref_dir=str(refs), in_dir=str(inputs), out_dir=str(tmp_path / "out"),
+        strategy="serial",
+    )
+    first = run_multihost_pipeline(config, HostConfig())
+    want = open(first[0]).read()
+
+    from sparksmithwaterman_tpu.models.aligner import get_backend
+
+    class NoRescore:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def totals(self, reads, refs_):
+            raise AssertionError("journal should have prevented rescoring")
+
+        def sites_for_ref(self, ref, reads):
+            return self._inner.sites_for_ref(ref, reads)
+
+    again = run_multihost_pipeline(
+        config, HostConfig(), backend=NoRescore(get_backend(config)), resume=True
+    )
+    got = open(again[0]).read()
+    assert [l for l in got.splitlines() if "Execution Time" not in l] == [
+        l for l in want.splitlines() if "Execution Time" not in l
+    ]
+
+    # Touching a reference file with new content invalidates the shard key.
+    import time as _time
+
+    _time.sleep(0.01)
+    (refs / "ref1.rna.fna").write_text(">gi|1|alpha\nAACGTACGTTTA\n")
+    import pytest
+
+    with pytest.raises(AssertionError, match="prevented rescoring"):
+        run_multihost_pipeline(
+            config, HostConfig(), backend=NoRescore(get_backend(config)),
+            resume=True,
+        )
