@@ -91,7 +91,14 @@ def _add_bench(sub):
 def _add_scaling(sub):
     p = sub.add_parser(
         "scaling",
-        help="multi-device strong-scaling sweep (refs mesh axis)",
+        help="multi-device strong-scaling sweep (refs or seq mesh axis)",
+    )
+    p.add_argument(
+        "--axis",
+        default="refs",
+        choices=["refs", "seq"],
+        help="refs = shard the reference set; seq = length-shard ONE "
+        "reference (ppermute wavefront)",
     )
     p.add_argument(
         "--devices",
@@ -230,6 +237,7 @@ def main(argv=None) -> int:
             read_len=args.read_len,
             num_refs=args.num_refs,
             ref_len=args.ref_len,
+            axis=args.axis,
         )
         print(json.dumps(rows, indent=1))
         return 0

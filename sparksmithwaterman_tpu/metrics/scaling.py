@@ -50,13 +50,30 @@ def measure_scaling(
     ref_len: int = 512,
     iters: int = 3,
     params=(5, -3, -4),
+    axis: str = "refs",
 ) -> List[Dict]:
-    """Strong-scaling sweep of ``sharded_totals`` over the refs axis.
+    """Strong-scaling sweep over a mesh axis.
+
+    ``axis='refs'``: ``sharded_totals`` with the reference set sharded
+    (embarrassingly parallel — ideal scaling is linear, any gap is
+    runtime overhead).  ``axis='seq'``: ONE reference of ``ref_len`` bp
+    length-sharded over the devices (``parallel/seqparallel.py``) — the
+    communication-bound axis, whose efficiency measures the ppermute
+    boundary exchange + pipeline fill cost.
 
     Fixed total workload; each row reports the measured rate and the
     efficiency vs the single-device rate.  ``num_refs`` must divide by
     every requested device count.
     """
+    if axis == "seq":
+        return _measure_scaling_seq(
+            device_counts,
+            num_reads=num_reads,
+            read_len=read_len,
+            ref_len=ref_len,
+            iters=iters,
+            params=params,
+        )
     n_avail = len(jax.devices())
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
@@ -86,6 +103,60 @@ def measure_scaling(
             want = out
         elif not np.array_equal(out, want):
             raise AssertionError(f"totals diverge at {n} devices")
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = run()
+        np.asarray(r)
+        dt = (time.perf_counter() - t0) / iters
+        rate = cells / dt
+        if base_rate is None:
+            base_rate = rate
+        rows.append(
+            {
+                "devices": n,
+                "seconds": round(dt, 6),
+                "gcups": round(rate / 1e9, 3),
+                "efficiency": round(rate / (n * base_rate), 3),
+            }
+        )
+    return rows
+
+
+def _measure_scaling_seq(
+    device_counts: Optional[Sequence[int]],
+    *,
+    num_reads: int,
+    read_len: int,
+    ref_len: int,
+    iters: int,
+    params,
+) -> List[Dict]:
+    from sparksmithwaterman_tpu.parallel.seqparallel import seqparallel_scores
+
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    reads_enc, refs_enc = _workload(num_reads, read_len, 1, ref_len)
+    ref_enc = refs_enc[0]
+    cells = num_reads * read_len * ref_len
+
+    rows: List[Dict] = []
+    base_rate = None
+    want = None
+    for n in device_counts:
+        if n > n_avail:
+            continue
+        if ref_len % n:
+            raise ValueError(f"ref_len={ref_len} must divide by devices={n}")
+        mesh = build_mesh((n,), axis_names=("seq",), n_devices=n)
+        run = lambda: seqparallel_scores(
+            reads_enc, ref_enc, *[int(v) for v in params], mesh=mesh
+        )
+        out = np.asarray(run())  # compile + settle
+        if want is None:
+            want = out
+        elif not np.array_equal(out, want):
+            raise AssertionError(f"seq-parallel scores diverge at {n} devices")
         t0 = time.perf_counter()
         for _ in range(iters):
             r = run()

@@ -307,10 +307,16 @@ def pallas_score_grid_diag(
 
     ``state_dtype``: 'int32', 'int16', or 'auto'.  Scores are bounded by
     ``match * M``, so for real read lengths int16 state is exact and
-    would pack two DP cells per 32-bit VPU lane — but current Mosaic has
-    no 16-bit lane rotate ("Rotate with non-32-bit data"), so 'auto'
-    resolves to int32 on TPU; the int16 path runs in interpret mode and
-    is kept for future Mosaic versions.
+    would pack two DP cells per 32-bit VPU lane — but the current
+    Mosaic/TPU target supports none of the needed 16-bit vector ops
+    (measured on v5e: lane rotate "Rotate with non-32-bit data"; compare
+    "Target does not support this comparison"; max "failed to legalize
+    arith.maxsi"; i1 mask relayout (8,128)->(16,128) "Invalid relayout").
+    A sublane-packed roll workaround exists (bitcast int16->int32, lane
+    roll, bitcast back — int16 packs sublane PAIRS, so lanes are
+    preserved), but without 16-bit max/select the recurrence itself
+    cannot run packed.  'auto' therefore resolves to int32 on TPU; the
+    int16 path runs in interpret mode and is kept for future targets.
     """
     r, m = reads.shape
     c, n = refs.shape

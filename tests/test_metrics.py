@@ -158,3 +158,16 @@ def test_scaling_harness_virtual_mesh():
     assert rows[0]["efficiency"] == 1.0
     for r in rows:
         assert r["gcups"] > 0
+
+
+def test_scaling_harness_seq_axis():
+    # Sequence-parallel strong scaling: same mechanics, seq mesh axis.
+    from sparksmithwaterman_tpu.metrics.scaling import measure_scaling
+
+    rows = measure_scaling(
+        [1, 2, 8], num_reads=4, read_len=16, ref_len=128, iters=1, axis="seq"
+    )
+    assert [r["devices"] for r in rows] == [1, 2, 8]
+    assert rows[0]["efficiency"] == 1.0
+    for r in rows:
+        assert r["gcups"] > 0
