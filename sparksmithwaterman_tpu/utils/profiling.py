@@ -35,6 +35,16 @@ class GcupsCounter:
         yield
         self.add(cells, time.perf_counter() - t0)
 
+    @contextlib.contextmanager
+    def measure_lazy(self):
+        """Like ``measure`` but the cell count is supplied at the end
+        (for pipelined loops that discover the workload as they go):
+        ``with counter.measure_lazy() as done: ...; done(cells)``."""
+        t0 = time.perf_counter()
+        holder = {"cells": 0}
+        yield lambda cells: holder.__setitem__("cells", cells)
+        self.add(holder["cells"], time.perf_counter() - t0)
+
     @property
     def gcups(self) -> float:
         return self.cells / self.seconds / 1e9 if self.seconds else 0.0
