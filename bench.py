@@ -29,7 +29,7 @@ def _measure_device(reads_enc, refs_enc, params, iters=20):
     def run():
         if on_tpu:
             return pallas_score_grid_diag(
-                reads_enc, refs_enc, *params, read_block=256
+                reads_enc, refs_enc, *params, read_block=512
             )
         return score_grid(reads_enc, refs_enc, *params)
 

@@ -187,11 +187,11 @@ def _diag_kernel(
     The reference's wavefront fills one anti-diagonal per *Spark job*
     with S/E/SE broadcasts into the next two diagonals
     (``src/sw/DistributedSW.java:192-245``, ``Broadcast`` :364-417).
-    Here one diagonal is one ``fori_loop`` step: the two predecessor
-    diagonals are loop-carried VMEM registers and the S/E/SE broadcast is
-    a single lane shift.  Unlike the row kernel above there is **no
+    Here one diagonal is one ``fori_loop`` step: the predecessor-diagonal
+    state is loop-carried VMEM registers and the S/E/SE broadcast is a
+    single lane shift.  Unlike the row kernel above there is **no
     intra-step dependence** (the within-row gap chain never appears on an
-    anti-diagonal), so no prefix-max: ~13 vector ops per DP cell.
+    anti-diagonal), so no prefix-max: ~10 vector ops per DP cell.
 
     reads_ref: (RB, M) int32 VMEM — lane = read position i.
     win_ref:   (1, T, M) int32 VMEM — win[d, i] = ref[d-i] (REF_PAD when
@@ -204,7 +204,11 @@ def _diag_kernel(
         D_d[i] = max(0, D_{d-2}[i-1] + sub(read[i], ref[d-i]),
                         D_{d-1}[i-1] + gap,   # N  (insertion)
                         D_{d-1}[i]   + gap)   # W  (deletion)
-    Lane-0 shift fill encodes the H[-1, *] = 0 boundary row; the
+    The i-1 lane shift of a diagonal is consumed twice (as the N term of
+    d+1 and the NW term of d+2), so the carry holds the PRE-SHIFTED
+    values rm(D) = shift(D) with lane 0 zeroed — one roll+mask per
+    diagonal instead of two (measured 237 -> ~300 GCUPS on v5e).
+    Lane-0 zero fill encodes the H[-1, *] = 0 boundary row; the
     H[*, -1] = 0 boundary column falls out of the invalid-lane region
     (lanes i > d) holding exactly 0 — pad codes match nothing and
     mismatch/gap < 0, so those lanes can never go positive.
@@ -220,39 +224,40 @@ def _diag_kernel(
     gap_c = jnp.asarray(gap, dt)
     zero_c = jnp.asarray(0, dt)
 
-    def step(d2, d1, d):
+    def step(d1, r1, r2, d):
+        # d1 = D_{d-1};  r1 = rm(D_{d-1});  r2 = rm(D_{d-2})
         refwin = win_ref[0, pl.ds(d, 1), :]  # (1, M) sublane-dynamic slice
         sub = jnp.where(reads_block == refwin.astype(dt), match_c, mismatch_c)
-        a = jnp.where(lane0, zero_c, pltpu.roll(d2, shift=1, axis=1)) + sub
-        d1g = d1 + gap_c
-        n_term = jnp.where(lane0, gap_c, pltpu.roll(d1g, shift=1, axis=1))
-        return jnp.maximum(jnp.maximum(a, jnp.maximum(n_term, d1g)), zero_c)
+        gterm = jnp.maximum(r1, d1) + gap_c  # N and W share the gap add
+        c1 = jnp.maximum(jnp.maximum(r2 + sub, gterm), zero_c)
+        rc = jnp.where(lane0, zero_c, pltpu.roll(c1, shift=1, axis=1))
+        return c1, rc
 
     # `unroll` diagonals per fori_loop iteration (must be even so every
-    # carry output is a computed value — with a d2 <- d1 pass-through,
-    # one carry slot keeps the replicated layout of the splat-zero init
-    # while receiving a concrete-layout value, which Mosaic rejects:
-    # "Invalid relayout: ... '{0,0}' -> '{*,*}'").  Unrolling amortizes
-    # loop/bounds overhead and lets Mosaic software-pipeline the window
-    # loads: measured 157 -> 246 GCUPS going from 2 to 32 on v5e.  The
-    # window table has >= unroll-1 spare PAD rows (t_pad in the
-    # wrapper), so overshoot diagonals are harmless all-decay steps.
+    # carry output is a computed value — a pure pass-through slot keeps
+    # the replicated layout of the splat-zero init while receiving a
+    # concrete-layout value, which Mosaic rejects: "Invalid relayout:
+    # ... '{0,0}' -> '{*,*}'").  Unrolling amortizes loop/bounds
+    # overhead and lets Mosaic software-pipeline the window loads:
+    # measured 157 -> 246 GCUPS going from 2 to 32 on v5e.  The window
+    # table has >= unroll-1 spare PAD rows (t_pad in the wrapper), so
+    # overshoot diagonals are harmless all-decay steps.
     def body(t, carry):
-        d2, d1, best = carry
+        d1, r1, r2, best = carry
         base = unroll * t
         cs = []
         for k in range(unroll):
-            c1 = step(d2, d1, base + k)
+            c1, rc = step(d1, r1, r2, base + k)
             cs.append(c1)
-            d2, d1 = d1, c1
+            d1, r2, r1 = c1, r1, rc
         bm = cs[0]
         for c_ in cs[1:]:
             bm = jnp.maximum(bm, c_)
-        return d2, d1, jnp.maximum(best, bm)
+        return d1, r1, r2, jnp.maximum(best, bm)
 
     zeros = jnp.zeros((rb, m), dt)
-    _, _, best = jax.lax.fori_loop(
-        0, -(-diags // unroll), body, (zeros, zeros, zeros)
+    _, _, _, best = jax.lax.fori_loop(
+        0, -(-diags // unroll), body, (zeros, zeros, zeros, zeros)
     )
     # Widen before the lane reduction: Mosaic has no int16 reductions.
     out_ref[0, pl.program_id(1), :] = jnp.max(best.astype(jnp.int32), axis=1)
@@ -297,7 +302,7 @@ def pallas_score_grid_diag(
     read_block: int = 256,
     interpret: bool = False,
     state_dtype: str = "auto",
-    unroll: int = 32,
+    unroll: int = 64,
 ):
     """Max SW score for every (read, ref) pair via the wavefront kernel.
 
@@ -384,8 +389,8 @@ def _score_diag_call(
             memory_space=pltpu.VMEM,
         ),
         cost_estimate=pl.CostEstimate(
-            # ~13 int ops per DP cell (shift + max chains, no cummax).
-            flops=13 * r * m * c * n,
+            # ~10 int ops per DP cell (shift + max chains, no cummax).
+            flops=10 * r * m * c * n,
             bytes_accessed=4 * (r * m + c * t_pad * m + c * r),
             transcendentals=0,
         ),
@@ -395,24 +400,29 @@ def _score_diag_call(
 
 
 def _make_step(reads_block, lane0, match, mismatch, gap, dt):
-    """Shared wavefront recurrence step (see ``_diag_kernel``)."""
+    """Shared wavefront recurrence step (see ``_diag_kernel``).
+
+    Carries (d1, r1, r2) = (D_{d-1}, rm(D_{d-1}), rm(D_{d-2})) where
+    rm(x) = lane shift of x with lane 0 zeroed — the pre-shifted form is
+    consumed by the next TWO diagonals, so each diagonal pays one roll.
+    """
     match_c = jnp.asarray(match, dt)
     mismatch_c = jnp.asarray(mismatch, dt)
     gap_c = jnp.asarray(gap, dt)
     zero_c = jnp.asarray(0, dt)
 
-    def step(d2, d1, refwin):
+    def step(d1, r1, r2, refwin):
         sub = jnp.where(reads_block == refwin.astype(dt), match_c, mismatch_c)
-        a = jnp.where(lane0, zero_c, pltpu.roll(d2, shift=1, axis=1)) + sub
-        d1g = d1 + gap_c
-        n_term = jnp.where(lane0, gap_c, pltpu.roll(d1g, shift=1, axis=1))
-        return jnp.maximum(jnp.maximum(a, jnp.maximum(n_term, d1g)), zero_c)
+        gterm = jnp.maximum(r1, d1) + gap_c
+        c1 = jnp.maximum(jnp.maximum(r2 + sub, gterm), zero_c)
+        rc = jnp.where(lane0, zero_c, pltpu.roll(c1, shift=1, axis=1))
+        return c1, rc
 
     return step
 
 
 def _chunked_kernel(
-    reads_ref, win_ref, out_ref, d2_s, d1_s, best_s,
+    reads_ref, win_ref, out_ref, d1_s, r1_s, r2_s, best_s,
     *, match, mismatch, gap, chunk, unroll, num_chunks,
 ):
     """Chunked wavefront program: RB reads vs one LONG reference.
@@ -423,7 +433,7 @@ def _chunked_kernel(
     and dies around N ~ 20kb; this form needs O(chunk·M) and handles
     100kb+ references (the reference's only long-sequence mechanism is
     this same wavefront decomposition, ``src/sw/DistributedSW.java:164-245``,
-    with full O(m·n) matrices).  The two live diagonals + running best
+    with full O(m·n) matrices).  The live diagonal state + running best
     persist across chunks in VMEM scratch.
     """
     rb, m = reads_ref.shape
@@ -434,8 +444,9 @@ def _chunked_kernel(
 
     @pl.when(tc == 0)
     def _init():
-        d2_s[...] = jnp.zeros((rb, m), dt)
         d1_s[...] = jnp.zeros((rb, m), dt)
+        r1_s[...] = jnp.zeros((rb, m), dt)
+        r2_s[...] = jnp.zeros((rb, m), dt)
         best_s[...] = jnp.zeros((rb, m), dt)
 
     reads_block = reads_ref[:].astype(dt)
@@ -443,23 +454,25 @@ def _chunked_kernel(
     step = _make_step(reads_block, lane0, match, mismatch, gap, dt)
 
     def body(t, carry):
-        d2, d1, best = carry
+        d1, r1, r2, best = carry
         base = unroll * t
         cs = []
         for k in range(unroll):
-            c1 = step(d2, d1, win_ref[0, pl.ds(base + k, 1), :])
+            c1, rc = step(d1, r1, r2, win_ref[0, pl.ds(base + k, 1), :])
             cs.append(c1)
-            d2, d1 = d1, c1
+            d1, r2, r1 = c1, r1, rc
         bm = cs[0]
         for c_ in cs[1:]:
             bm = jnp.maximum(bm, c_)
-        return d2, d1, jnp.maximum(best, bm)
+        return d1, r1, r2, jnp.maximum(best, bm)
 
-    d2, d1, best = jax.lax.fori_loop(
-        0, chunk // unroll, body, (d2_s[...], d1_s[...], best_s[...])
+    d1, r1, r2, best = jax.lax.fori_loop(
+        0, chunk // unroll, body,
+        (d1_s[...], r1_s[...], r2_s[...], best_s[...]),
     )
-    d2_s[...] = d2
     d1_s[...] = d1
+    r1_s[...] = r1
+    r2_s[...] = r2
     best_s[...] = best
 
     @pl.when(tc == num_chunks - 1)
@@ -476,7 +489,7 @@ def pallas_score_grid_diag_chunked(
     *,
     read_block: int = 256,
     chunk: int = 2048,
-    unroll: int = 32,
+    unroll: int = 64,
     interpret: bool = False,
 ):
     """Max SW score per (read, ref) pair for arbitrarily long refs.
@@ -551,12 +564,13 @@ def _score_chunked_call(
             pltpu.VMEM((read_block, m), jnp.int32),
             pltpu.VMEM((read_block, m), jnp.int32),
             pltpu.VMEM((read_block, m), jnp.int32),
+            pltpu.VMEM((read_block, m), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=13 * r * m * c * n,
+            flops=11 * r * m * c * n,
             bytes_accessed=4 * (r * m + c * t_pad * m + c * r),
             transcendentals=0,
         ),
@@ -566,7 +580,7 @@ def _score_chunked_call(
 
 
 def _chunked_argmax_kernel(
-    reads_ref, win_ref, best_ref, bestd_ref, count_ref, d2_s, d1_s,
+    reads_ref, win_ref, best_ref, bestd_ref, count_ref, d1_s, r1_s, r2_s,
     *, match, mismatch, gap, chunk, unroll, num_chunks,
 ):
     """Chunked wavefront with per-lane argmax + tie-count tracking.
@@ -586,8 +600,9 @@ def _chunked_argmax_kernel(
 
     @pl.when(tc == 0)
     def _init():
-        d2_s[...] = jnp.zeros((rb, m), dt)
         d1_s[...] = jnp.zeros((rb, m), dt)
+        r1_s[...] = jnp.zeros((rb, m), dt)
+        r2_s[...] = jnp.zeros((rb, m), dt)
         best_ref[...] = jnp.zeros((1, rb, m), dt)
         bestd_ref[...] = jnp.zeros((1, rb, m), dt)
         count_ref[...] = jnp.zeros((1, rb, m), dt)
@@ -598,25 +613,27 @@ def _chunked_argmax_kernel(
     one = jnp.asarray(1, dt)
 
     def body(t, carry):
-        d2, d1, best, bestd, count = carry
+        d1, r1, r2, best, bestd, count = carry
         base = unroll * t
         for k in range(unroll):
-            c1 = step(d2, d1, win_ref[0, pl.ds(base + k, 1), :])
+            c1, rc = step(d1, r1, r2, win_ref[0, pl.ds(base + k, 1), :])
             d_glob = tc * chunk + base + k
             gt = c1 > best
             eq = (c1 == best) & (best > 0)
             best = jnp.where(gt, c1, best)
             bestd = jnp.where(gt, d_glob, bestd)
             count = jnp.where(gt, one, count + eq.astype(dt))
-            d2, d1 = d1, c1
-        return d2, d1, best, bestd, count
+            d1, r2, r1 = c1, r1, rc
+        return d1, r1, r2, best, bestd, count
 
-    d2, d1, best, bestd, count = jax.lax.fori_loop(
+    d1, r1, r2, best, bestd, count = jax.lax.fori_loop(
         0, chunk // unroll, body,
-        (d2_s[...], d1_s[...], best_ref[0], bestd_ref[0], count_ref[0]),
+        (d1_s[...], r1_s[...], r2_s[...],
+         best_ref[0], bestd_ref[0], count_ref[0]),
     )
-    d2_s[...] = d2
     d1_s[...] = d1
+    r1_s[...] = r1
+    r2_s[...] = r2
     best_ref[0] = best
     bestd_ref[0] = bestd
     count_ref[0] = count
@@ -631,7 +648,7 @@ def pallas_argmax_grid_diag_chunked(
     *,
     read_block: int = 256,
     chunk: int = 2048,
-    unroll: int = 32,
+    unroll: int = 64,
     interpret: bool = False,
 ):
     """Per-lane (best, first-diag, tie-count) for every (read, ref) pair.
@@ -704,6 +721,7 @@ def _argmax_chunked_call(
         ],
         out_specs=(out_spec, out_spec, out_spec),
         scratch_shapes=[
+            pltpu.VMEM((read_block, m), jnp.int32),
             pltpu.VMEM((read_block, m), jnp.int32),
             pltpu.VMEM((read_block, m), jnp.int32),
         ],

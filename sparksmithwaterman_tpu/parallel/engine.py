@@ -90,7 +90,7 @@ def sharded_score_grid(
         m = reads.shape[1]
         n = refs.shape[1]
         diags = m + n - 1
-        unroll = 32
+        unroll = 64
         t_pad = -(-(diags + unroll - 1) // 8) * 8
         refs_sharded = jax.device_put(
             np.asarray(refs, np.int32),
@@ -218,7 +218,7 @@ def sharded_totals(
         m = reads.shape[1]
         n = refs.shape[1]
         diags = m + n - 1
-        unroll = 32
+        unroll = 64
         t_pad = -(-(diags + unroll - 1) // 8) * 8
         refs_sharded = jax.device_put(
             np.asarray(refs, np.int32),
