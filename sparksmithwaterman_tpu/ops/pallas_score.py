@@ -245,14 +245,24 @@ def _diag_kernel(
     def body(t, carry):
         d1, r1, r2, best = carry
         base = unroll * t
-        cs = []
+        # Pairwise-fold the running max so only O(1) diagonals stay live:
+        # keeping all `unroll` outputs for a balanced max tree costs
+        # unroll * RB * M * 4 bytes of VMEM stack (16MB at 64 x 256 x 256
+        # — a scoped-vmem OOM); one extra max per EVEN diagonal keeps the
+        # best-chain off the critical path at depth unroll/2 + 1.
+        bm = None
+        prev = None
         for k in range(unroll):
             c1, rc = step(d1, r1, r2, base + k)
-            cs.append(c1)
+            if prev is None:
+                prev = c1
+            else:
+                pair = jnp.maximum(prev, c1)
+                bm = pair if bm is None else jnp.maximum(bm, pair)
+                prev = None
             d1, r2, r1 = c1, r1, rc
-        bm = cs[0]
-        for c_ in cs[1:]:
-            bm = jnp.maximum(bm, c_)
+        if prev is not None:
+            bm = prev if bm is None else jnp.maximum(bm, prev)
         return d1, r1, r2, jnp.maximum(best, bm)
 
     zeros = jnp.zeros((rb, m), dt)
@@ -456,14 +466,20 @@ def _chunked_kernel(
     def body(t, carry):
         d1, r1, r2, best = carry
         base = unroll * t
-        cs = []
+        # Pairwise best-fold: O(1) live diagonals (see _diag_kernel).
+        bm = None
+        prev = None
         for k in range(unroll):
             c1, rc = step(d1, r1, r2, win_ref[0, pl.ds(base + k, 1), :])
-            cs.append(c1)
+            if prev is None:
+                prev = c1
+            else:
+                pair = jnp.maximum(prev, c1)
+                bm = pair if bm is None else jnp.maximum(bm, pair)
+                prev = None
             d1, r2, r1 = c1, r1, rc
-        bm = cs[0]
-        for c_ in cs[1:]:
-            bm = jnp.maximum(bm, c_)
+        if prev is not None:
+            bm = prev if bm is None else jnp.maximum(bm, prev)
         return d1, r1, r2, jnp.maximum(best, bm)
 
     d1, r1, r2, best = jax.lax.fori_loop(
