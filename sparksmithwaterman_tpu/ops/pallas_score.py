@@ -273,6 +273,33 @@ def _diag_kernel(
     out_ref[0, pl.program_id(1), :] = jnp.max(best.astype(jnp.int32), axis=1)
 
 
+def _auto_unroll(
+    unroll: int, rb: int, m: int, win_rows: int, extra_regs: int = 0
+) -> int:
+    """Largest even unroll <= requested that fits Mosaic's scoped VMEM.
+
+    The kernel's scoped-vmem stack is ~(0.75*unroll + 4 + extra_regs)
+    (RB, M) int32 values (the unrolled diagonal chain — Mosaic keeps each
+    unrolled c1 in its own stack slot despite the pairwise fold) plus the
+    double-buffered (win_rows, M) window block.  Calibrated on v5e
+    against measured points: rb=512,m=128,unroll=64,t=2240 fits on
+    hardware (the bench config; model estimate 15.93MB) and
+    rb=256,m=256,unroll=64,t=2368 OOMs at a reported 17.89MB vs the
+    16MB scoped limit (model 18.48MB — the model errs conservative).
+    Without this cap, read batches padded past 128bp crash the
+    whole-table kernel at the default unroll=64.
+    """
+    limit = 16.0e6
+    while unroll > 2:
+        est = 4 * (
+            (0.75 * unroll + 4 + extra_regs) * rb * m + 2 * win_rows * m
+        )
+        if est <= limit:
+            break
+        unroll //= 2
+    return max(2, unroll)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "t_pad"))
 def _diag_windows(refs_i, m: int, t_pad: int):
     """(C, N) int32 refs -> (C, T, M) per-diagonal substitution windows.
@@ -346,6 +373,8 @@ def pallas_score_grid_diag(
     diags = m + n - 1
     # Sublane-align the table AND guarantee spare PAD rows for the
     # kernel's unroll-diagonals-per-step overshoot.
+    t_pad = -(-(diags + unroll - 1) // 8) * 8
+    unroll = _auto_unroll(unroll, read_block, m, t_pad)
     t_pad = -(-(diags + unroll - 1) // 8) * 8
     reads_i = jnp.asarray(reads).astype(jnp.int32)
     # Built OUTSIDE the score jit (see _diag_windows: layout forcing).
@@ -517,6 +546,7 @@ def pallas_score_grid_diag_chunked(
     c, n = refs.shape
     if r % read_block != 0:
         raise ValueError(f"R={r} must be a multiple of read_block={read_block}")
+    unroll = _auto_unroll(unroll, read_block, m, chunk, extra_regs=4)
     if chunk % unroll != 0 or chunk % 8 != 0:
         raise ValueError(f"chunk={chunk} must be a multiple of unroll and 8")
     match, mismatch, gap = int(match), int(mismatch), int(gap)
@@ -676,6 +706,7 @@ def pallas_argmax_grid_diag_chunked(
     c, n = refs.shape
     if r % read_block != 0:
         raise ValueError(f"R={r} must be a multiple of read_block={read_block}")
+    unroll = _auto_unroll(unroll, read_block, m, chunk, extra_regs=8)
     if chunk % unroll != 0 or chunk % 8 != 0:
         raise ValueError(f"chunk={chunk} must be a multiple of unroll and 8")
     match, mismatch, gap = int(match), int(mismatch), int(gap)

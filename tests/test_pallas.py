@@ -133,3 +133,38 @@ def test_chunked_argmax_reconstructs_max_cells(make_seq):
                     [lanes, bestd[r, c, lanes] - lanes], axis=1
                 )
                 np.testing.assert_array_equal(rec, want)
+
+
+def test_auto_unroll_vmem_model():
+    """Regression: read batches padded past 128bp must not blow scoped VMEM.
+
+    Two v5e-measured anchor points (docstring of ``_auto_unroll``): the
+    bench config rb=512/m=128 fits at unroll=64, while rb=256/m=256 at
+    unroll=64 OOMed on hardware (reported 17.89MB vs the 16MB scoped
+    limit) and must be capped.
+    """
+    from sparksmithwaterman_tpu.ops.pallas_score import _auto_unroll
+
+    # Bench config keeps its measured-good unroll.
+    assert _auto_unroll(64, 512, 128, 2240) == 64
+    # The hardware-OOM config is capped to a fitting unroll.
+    assert _auto_unroll(64, 256, 256, 2368) <= 32
+    # Never returns less than 2, and preserves evenness.
+    assert _auto_unroll(64, 1024, 1024, 65536) == 2
+    assert _auto_unroll(48, 256, 256, 2368) % 2 == 0
+
+
+def test_diag_kernel_wide_reads_matches_lax(make_seq):
+    """The m=256 path (auto-capped unroll) stays score-exact."""
+    from sparksmithwaterman_tpu.ops.pallas_score import default_interpret
+
+    reads = [make_seq(200) for _ in range(8)]
+    refs = [make_seq(500) for _ in range(2)]
+    reads_enc = encode_batch(reads, 256, READ_PAD)
+    refs_enc = encode_batch(refs, 512, REF_PAD)
+    got = pallas_score_grid_diag(
+        reads_enc, refs_enc, 5, -3, -4, read_block=8,
+        interpret=default_interpret(),
+    )
+    want = score_grid(reads_enc, refs_enc, 5, -3, -4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
