@@ -78,6 +78,38 @@ def _quantize(n: int, base: int) -> int:
     return q
 
 
+def _quantize_15(n: int, base: int) -> int:
+    """Round up to base * {2^k or 1.5 * 2^k} (1.5 only when a multiple
+    of base, i.e. from 3*base upward).
+
+    Same O(log) bound on compiled shapes as :func:`_quantize` but the
+    worst-case padding drops from 2x to 1.33x (mean ~1.15x) — on the
+    totals path padding waste, not kernel rate, dominates real-cell
+    GCUPS (measured 3.1x padded/real cells on mixed 80-200bp reads x
+    500-4000bp refs under pure powers of two)."""
+    q = base
+    while q < n:
+        q15 = q + q // 2
+        if n <= q15 and q15 % base == 0:
+            return q15
+        q *= 2
+    return q
+
+
+def _diag_read_block(r_pad: int, m_pad: int) -> int:
+    """Wavefront read block: largest power-of-2 divisor of ``r_pad``
+    with rb * m <= 64k int32 elements.
+
+    Bigger blocks feed the serial diagonal chain more ILP (rb=512 at
+    m=128 measures 331-354 GCUPS vs 82 at rb=64), but past rb*m = 64k
+    the scoped-VMEM cap forces the unroll down faster than the extra
+    rows pay (rb=512/m=256 measured 253 vs 284 at rb=256/m=256)."""
+    rb = r_pad
+    while rb > 8 and rb * m_pad > 65536 and (rb // 2) % 8 == 0:
+        rb //= 2
+    return rb
+
+
 def _pad_rows(arr: np.ndarray, rows: int, fill: int) -> np.ndarray:
     if arr.shape[0] == rows:
         return arr
@@ -90,17 +122,19 @@ def _group_by_padded_len(
 ) -> Dict[int, List[int]]:
     """Group sequence indices by padded length.
 
-    ``geometric=True`` pads to bucket * 2^k instead of multiples of
-    bucket: worst-case 2x padded FLOPs, but the number of groups — and
-    with it per-dispatch overhead (host->device RTT, window-table
-    builds, kernel launches; ~tens of ms each through a remote TPU
-    tunnel) — drops from O(max_len/bucket) to O(log(max_len/bucket)).
-    Measured on mixed 500-4000bp refs: linear buckets 93 GCUPS,
-    geometric 154 GCUPS end-to-end.
+    ``geometric=True`` pads to bucket * {1, 1.5} * 2^k instead of
+    multiples of bucket: worst-case 1.33x padded FLOPs, but the number
+    of groups — and with it per-dispatch overhead (host->device RTT,
+    window-table builds, kernel launches; ~2-3 ms each through a remote
+    TPU tunnel) — drops from O(max_len/bucket) to
+    O(log(max_len/bucket)).  Measured on mixed 500-4000bp refs: linear
+    buckets 93 GCUPS, pure power-of-2 geometric 154 GCUPS end-to-end;
+    the 1.5-mantissa ladder cuts the ref-axis padding from a measured
+    1.36x to <=1.15x at one extra group per octave.
     """
     groups: Dict[int, List[int]] = {}
     for idx, s in enumerate(seqs):
-        key = _quantize(len(s), bucket) if geometric else _pad_len(len(s), bucket)
+        key = _quantize_15(len(s), bucket) if geometric else _pad_len(len(s), bucket)
         groups.setdefault(key, []).append(idx)
     return groups
 
@@ -141,19 +175,18 @@ class BatchBackend:
         r, c = reads_enc.shape[0], refs_enc.shape[0]
         refs_enc = _pad_rows(refs_enc, _quantize(c, 8), REF_PAD)
         if self.use_pallas and self.kernel == "diag":
-            # Wavefront kernel: the read block is the whole quantized
-            # batch up to 256 rows (8*2^k row counts, so the block always
-            # divides R); bigger blocks amortize the per-diagonal step.
-            r_q = _quantize(r, 8)
+            # Wavefront kernel: rows quantize on the finer 1.5-mantissa
+            # ladder (row padding costs real FLOPs; see _quantize_15)
+            # and the read block is the largest fitting divisor.
+            r_q = _quantize_15(r, 8)
+            rb = _diag_read_block(r_q, reads_enc.shape[1])
             reads_enc = _pad_rows(reads_enc, r_q, READ_PAD)
             if refs_enc.shape[1] > _CHUNKED_REF_N:
                 return pallas_score_grid_diag_chunked(
-                    reads_enc, refs_enc, *self._params,
-                    read_block=min(256, r_q),
+                    reads_enc, refs_enc, *self._params, read_block=rb,
                 )
             return pallas_score_grid_diag(
-                reads_enc, refs_enc, *self._params,
-                read_block=min(256, r_q),
+                reads_enc, refs_enc, *self._params, read_block=rb,
             )
         if self.use_pallas:
             reads_enc = _pad_rows(

@@ -278,21 +278,22 @@ def _auto_unroll(
 ) -> int:
     """Largest even unroll <= requested that fits Mosaic's scoped VMEM.
 
-    The kernel's scoped-vmem stack is ~(0.75*unroll + 4 + extra_regs)
+    The kernel's scoped-vmem stack is ~(0.65*unroll + 4 + extra_regs)
     (RB, M) int32 values (the unrolled diagonal chain — Mosaic keeps each
-    unrolled c1 in its own stack slot despite the pairwise fold) plus the
-    double-buffered (win_rows, M) window block.  Calibrated on v5e
-    against measured points: rb=512,m=128,unroll=64,t=2240 fits on
-    hardware (the bench config; model estimate 15.93MB) and
-    rb=256,m=256,unroll=64,t=2368 OOMs at a reported 17.89MB vs the
-    16MB scoped limit (model 18.48MB — the model errs conservative).
-    Without this cap, read batches padded past 128bp crash the
-    whole-table kernel at the default unroll=64.
+    unrolled c1 in its own stack slot despite the pairwise fold) plus
+    the window block, which budgets as TRIPLE-buffered.  Calibrated on
+    v5e against three hardware observations: rb=512/m=128/u=64/t=2240
+    fits (the bench config; model 15.6MB), rb=256/m=256/u=64/t=2368
+    OOMs at a reported 17.89MB (model 19.5MB), rb=192/m=256/u=64/t=2368
+    OOMs at a reported 16.05MB (model 16.4MB) — the model errs
+    conservative on both failures.  Without this cap, read batches
+    padded past 128bp crash the whole-table kernel at the default
+    unroll=64.
     """
     limit = 16.0e6
     while unroll > 2:
         est = 4 * (
-            (0.75 * unroll + 4 + extra_regs) * rb * m + 2 * win_rows * m
+            (0.65 * unroll + 4 + extra_regs) * rb * m + 3 * win_rows * m
         )
         if est <= limit:
             break
