@@ -1,29 +1,70 @@
-"""Headline benchmark: DP-fill GCUPS on one chip.
+"""Headline benchmark: end-to-end mixed-length alignment throughput.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
-the speedup over a measured serial-oracle cell rate — the same engine
-semantics as the reference's ``SmithWaterman`` control path
-(``src/sw/Distribution.java:482-634``), which is its own baseline
-strategy ("no distribution" control).
+- ``value`` is the REAL-cell GCUPS (sum |read|*|ref| / wall time) of the
+  shipped hot path — ``BatchBackend.totals`` on a mixed-length workload
+  (512 reads of 80-150bp x 256 refs of 500-4000bp), i.e. what
+  ``swtpu align`` actually delivers, padding waste and dispatch overhead
+  included.  The round-1 headline was the uniform-batch kernel rate,
+  which overstated the pipeline by ~3.5x; that rate is still reported as
+  ``kernel_gcups``.
+- ``vs_baseline`` is the speedup over a measured serial-oracle cell rate
+  — the same engine semantics as the reference's ``SmithWaterman``
+  control path (``src/sw/Distribution.java:482-634``); the reference
+  publishes no numbers of its own (BASELINE.md).
+- ``kernel_pct_vpu_sol`` tracks the kernel against the v5e VPU
+  speed-of-light (~10 vector ops per DP cell against ~4e12 int ops/s).
+
+``--check`` exits nonzero if any TPU rate regresses below the committed
+thresholds (the perf gate of VERDICT r1 task 10).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
+# Committed TPU expectations (v5e, warm).  A failed check means a real
+# regression: these were measured on hardware with margin (~10%) below
+# the observed steady-state rates.
+THRESHOLDS = {
+    "kernel_gcups": 330.0,
+    "e2e_gcups": 200.0,
+}
 
-def _measure_device(reads_enc, refs_enc, params, iters=20):
+_BASES = np.array(list("ACGT"))
+
+
+def _mixed_workload(rng):
+    reads = [
+        "".join(rng.choice(_BASES, size=int(l)))
+        for l in rng.integers(80, 151, size=512)
+    ]
+    refs = [
+        "".join(rng.choice(_BASES, size=int(l)))
+        for l in rng.integers(500, 4000, size=256)
+    ]
+    return reads, refs
+
+
+def bench_kernel(params, iters=20):
+    """Uniform-batch wavefront kernel rate: 512x128bp vs 64x2kb."""
     import jax
 
+    from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
     from sparksmithwaterman_tpu.ops.pallas_score import pallas_score_grid_diag
     from sparksmithwaterman_tpu.ops.recurrence import score_grid
 
+    rng = np.random.default_rng(0)
+    reads = ["".join(rng.choice(_BASES, size=128)) for _ in range(512)]
+    refs = ["".join(rng.choice(_BASES, size=2048)) for _ in range(64)]
+    reads_enc = encode_batch(reads, 128, READ_PAD)
+    refs_enc = encode_batch(refs, 2048, REF_PAD)
     on_tpu = jax.default_backend() == "tpu"
 
     def run():
@@ -39,23 +80,46 @@ def _measure_device(reads_enc, refs_enc, params, iters=20):
     t0 = time.perf_counter()
     outs = [run() for _ in range(iters)]
     out = np.asarray(outs[-1])  # programs execute in order on the one
-    # device stream, so fetching the last output fences all of them —
-    # without paying a host round-trip per iteration.
+    # device stream, so fetching the last output fences all of them.
     dt = (time.perf_counter() - t0) / iters
-    r, m = reads_enc.shape
-    c, n = refs_enc.shape
-    cells = r * m * c * n
-    return cells / dt, np.asarray(out)
+    cells = reads_enc.size * refs_enc.size
+    return cells / dt / 1e9, (reads, refs, out)
 
 
-def _measure_oracle(reads, refs, params):
+def bench_e2e(params, iters=5):
+    """Shipped-path rate: BatchBackend.totals on mixed lengths."""
+    from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
+    from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+    rng = np.random.default_rng(1)
+    reads, refs = _mixed_workload(rng)
+    real_cells = sum(map(len, reads)) * sum(map(len, refs))
+    scoring = ScoringScheme(
+        match=int(params[0]), mismatch=int(params[1]), gap=int(params[2])
+    )
+    be = BatchBackend(
+        AlignConfig(ref_dir=".", in_dir=".", out_dir=".", scoring=scoring)
+    )
+    totals = be.totals(reads, refs)  # warm/compile
+    best = 0.0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        totals = be.totals(reads, refs)
+        dt = time.perf_counter() - t0
+        best = max(best, real_cells / dt / 1e9)
+    return best, (reads, refs, totals)
+
+
+def _oracle_rate(reads, refs, params):
     from sparksmithwaterman_tpu.config import ScoringScheme
     from sparksmithwaterman_tpu.core import oracle
 
-    scoring = ScoringScheme(match=int(params[0]), mismatch=int(params[1]), gap=int(params[2]))
+    scoring = ScoringScheme(
+        match=int(params[0]), mismatch=int(params[1]), gap=int(params[2])
+    )
     cells = 0
-    t0 = time.perf_counter()
     scores = {}
+    t0 = time.perf_counter()
     for ri, read in enumerate(reads):
         for ci, ref in enumerate(refs):
             scores[(ri, ci)] = oracle.opt_alignments(ref, read, scoring)[0]
@@ -64,45 +128,61 @@ def _measure_oracle(reads, refs, params):
     return cells / dt, scores
 
 
-def main():
+def main(argv):
     from sparksmithwaterman_tpu.cli import enable_compile_cache
-    from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
 
     enable_compile_cache()
-
-    rng = np.random.default_rng(0)
-    alphabet = np.array(list("ACGT"))
     params = (np.int32(5), np.int32(-3), np.int32(-4))
 
-    # Device workload: 512 reads x 128bp vs 64 refs x 2kb  (~8.6e9 cells)
-    reads = ["".join(rng.choice(alphabet, size=128)) for _ in range(512)]
-    refs = ["".join(rng.choice(alphabet, size=2048)) for _ in range(64)]
-    reads_enc = encode_batch(reads, 128, READ_PAD)
-    refs_enc = encode_batch(refs, 2048, REF_PAD)
+    kernel_gcups, (kreads, krefs, kgrid) = bench_kernel(params)
+    e2e_gcups, (ereads, erefs, etotals) = bench_e2e(params)
 
-    device_rate, device_scores = _measure_device(reads_enc, refs_enc, params)
-
-    # Oracle sample: 2 reads x 2 refs, extrapolated (the serial path is
-    # ~1e6 cells/s; a full grid would take hours).
-    oracle_rate, oracle_scores = _measure_oracle(reads[:2], refs[:2], params)
-    for (ri, ci), want in oracle_scores.items():
-        got = int(device_scores[ri, ci])
-        if got != want:
+    # Parity spot-check against the serial oracle (the reference's
+    # control semantics): 2x2 of the kernel grid + 2 e2e totals.
+    oracle_rate, want = _oracle_rate(kreads[:2], krefs[:2], params)
+    for (ri, ci), w in want.items():
+        got = int(kgrid[ri, ci])
+        if got != w:
+            raise SystemExit(f"PARITY FAIL kernel ({ri},{ci}): {got} != {w}")
+    _, w_tot = _oracle_rate(ereads, erefs[:2], params)
+    for ci in range(2):
+        w = sum(w_tot[(ri, ci)] for ri in range(len(ereads)))
+        if int(etotals[ci]) != w:
             raise SystemExit(
-                f"PARITY FAIL at read {ri} x ref {ci}: device {got} != oracle {want}"
+                f"PARITY FAIL e2e totals[{ci}]: {int(etotals[ci])} != {w}"
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": "dp_fill_rate",
-                "value": round(device_rate / 1e9, 3),
-                "unit": "GCUPS",
-                "vs_baseline": round(device_rate / oracle_rate, 1),
-            }
-        )
-    )
+    result = {
+        "metric": "e2e_real_cell_rate",
+        "value": round(e2e_gcups, 1),
+        "unit": "GCUPS",
+        "vs_baseline": round(e2e_gcups * 1e9 / oracle_rate, 1),
+        "kernel_gcups": round(kernel_gcups, 1),
+        # ~10 vector ops/DP cell vs ~4e12 int vector ops/s on one v5e
+        # core (VERDICT r1: the kernel is near VPU speed-of-light; the
+        # remaining e2e gap is padding + dispatch, tracked by value).
+        "kernel_pct_vpu_sol": round(kernel_gcups * 10 / 4000 * 100, 1),
+        "padding_waste": round(kernel_gcups / max(e2e_gcups, 1e-9), 2),
+    }
+    print(json.dumps(result))
+
+    if "--check" in argv:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            print("check skipped: not on TPU", file=sys.stderr)
+            return 0
+        measured = {"kernel_gcups": kernel_gcups, "e2e_gcups": e2e_gcups}
+        bad = {
+            k: (measured[k], floor)
+            for k, floor in THRESHOLDS.items()
+            if measured[k] < floor
+        }
+        if bad:
+            print(f"PERF REGRESSION: {bad}", file=sys.stderr)
+            return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main(sys.argv[1:]))

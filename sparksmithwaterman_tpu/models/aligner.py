@@ -65,6 +65,14 @@ def get_backend(config: AlignConfig):
     if config.strategy in ("batch", "wavefront"):
         from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
 
+        # 'wavefront' (the reference's DistributeAlgorithm,
+        # Distribution.java:63-213) PINS the anti-diagonal kernel;
+        # 'batch' honors config.kernel ('diag' default — fastest — or
+        # 'row' for the prefix-max kernel).
+        if config.strategy == "wavefront" and config.kernel != "diag":
+            import dataclasses
+
+            config = dataclasses.replace(config, kernel="diag")
         return BatchBackend(config)
     if config.strategy in ("shard_refs", "shard_reads"):
         from sparksmithwaterman_tpu.parallel.engine import ShardedBackend

@@ -32,9 +32,11 @@ from sparksmithwaterman_tpu.ops.device_traceback import (
     sites_from_trace,
 )
 from sparksmithwaterman_tpu.ops.pallas_score import (
+    diag_read_block as _diag_read_block,
     pallas_score_grid,
     pallas_score_grid_diag,
     pallas_score_grid_diag_chunked,
+    plan_diag,
 )
 from sparksmithwaterman_tpu.utils.profiling import GcupsCounter
 
@@ -52,6 +54,12 @@ def _col_sums(scores):
 # (B, M, N) fill of one traceback call (int32 words).
 _SCORE_BUDGET = 1 << 24
 _FILL_BUDGET = 1 << 24
+
+# Per-dispatch column sums are int32 on device; a dispatch's read count
+# is capped so r * match * m_pad stays below this (margin of 2^24 under
+# 2^31), making the device accumulation exact.  Cross-dispatch
+# accumulation is int64 on the host.
+_INT32_SAFE = (1 << 31) - (1 << 24)
 
 # Element budget for the wavefront kernel's (C, M+N, M) HBM window table
 # (int32 words; 1<<27 = 512MB).  The diag kernel holds no (R, C, N)
@@ -94,20 +102,6 @@ def _quantize_15(n: int, base: int) -> int:
             return q15
         q *= 2
     return q
-
-
-def _diag_read_block(r_pad: int, m_pad: int) -> int:
-    """Wavefront read block: largest power-of-2 divisor of ``r_pad``
-    with rb * m <= 64k int32 elements.
-
-    Bigger blocks feed the serial diagonal chain more ILP (rb=512 at
-    m=128 measures 331-354 GCUPS vs 82 at rb=64), but past rb*m = 64k
-    the scoped-VMEM cap forces the unroll down faster than the extra
-    rows pay (rb=512/m=256 measured 253 vs 284 at rb=256/m=256)."""
-    rb = r_pad
-    while rb > 8 and rb * m_pad > 65536 and (rb // 2) % 8 == 0:
-        rb //= 2
-    return rb
 
 
 def _pad_rows(arr: np.ndarray, rows: int, fill: int) -> np.ndarray:
@@ -165,12 +159,13 @@ class BatchBackend:
     def _score_grid_dev(self, reads_enc: np.ndarray, refs_enc: np.ndarray):
         """(R_pad, C_pad) score grid as a DEVICE array (not fetched).
 
-        Both batch axes are quantized to base*2^k row counts (padding
-        rows/cols score exactly 0 — pad codes match nothing and
-        mismatch/gap < 0) so repeated calls with ragged batch sizes
-        reuse a small set of compiled programs.  Callers slice the
-        padding off after fetching (or never: padded rows contribute 0
-        to column sums).
+        Ref rows quantize to 8*2^k; read rows to the 1.5-mantissa
+        ladder 8*{2^k, 1.5*2^k} (see ``_quantize_15`` — row padding
+        costs real FLOPs there).  Padding rows/cols score exactly 0 —
+        pad codes match nothing and mismatch/gap < 0 — so repeated
+        calls with ragged batch sizes reuse a small set of compiled
+        programs.  Callers slice the padding off after fetching (or
+        never: padded rows contribute 0 to column sums).
         """
         r, c = reads_enc.shape[0], refs_enc.shape[0]
         refs_enc = _pad_rows(refs_enc, _quantize(c, 8), REF_PAD)
@@ -178,10 +173,14 @@ class BatchBackend:
             # Wavefront kernel: rows quantize on the finer 1.5-mantissa
             # ladder (row padding costs real FLOPs; see _quantize_15)
             # and the read block is the largest fitting divisor.
+            m_pad, n_pad = reads_enc.shape[1], refs_enc.shape[1]
             r_q = _quantize_15(r, 8)
-            rb = _diag_read_block(r_q, reads_enc.shape[1])
+            rb = _diag_read_block(r_q, m_pad)
             reads_enc = _pad_rows(reads_enc, r_q, READ_PAD)
-            if refs_enc.shape[1] > _CHUNKED_REF_N:
+            # Stream the window when the whole-table form can't fit
+            # scoped VMEM (long refs, or wide reads where the
+            # triple-buffered (t_pad, m) window alone blows the limit).
+            if n_pad > _CHUNKED_REF_N or plan_diag(rb, m_pad, n_pad) is None:
                 return pallas_score_grid_diag_chunked(
                     reads_enc, refs_enc, *self._params, read_block=rb,
                 )
@@ -198,10 +197,12 @@ class BatchBackend:
         reads_enc = _pad_rows(reads_enc, _quantize(r, 8), READ_PAD)
         return score_grid(reads_enc, refs_enc, *self._params)
 
-    def _score_grid(self, reads_enc: np.ndarray, refs_enc: np.ndarray) -> np.ndarray:
-        """(R, C) score grid on host (padding sliced off)."""
-        r, c = reads_enc.shape[0], refs_enc.shape[0]
-        return np.asarray(self._score_grid_dev(reads_enc, refs_enc))[:r, :c]
+    def _col_sums_dev(self, reads_enc: np.ndarray, refs_enc: np.ndarray):
+        """(C_pad,) per-reference column sums as a DEVICE array.
+
+        The dispatch unit of ``totals``; ShardedBackend overrides this
+        with the mesh-sharded psum merge."""
+        return _col_sums(self._score_grid_dev(reads_enc, refs_enc))
 
     # -- hot path ---------------------------------------------------------
 
@@ -227,28 +228,38 @@ class BatchBackend:
         diag_path = self.use_pallas and self.kernel == "diag"
         total_cells = 0
         pending: List[Tuple[List[int], object]] = []  # (ref chunk, device col sums)
+        # int32 overflow guard: cap each dispatch's read count so the
+        # device column sums (and the sharded path's psum) stay exact —
+        # a dispatch's per-ref total is bounded by r * match * m_pad.
+        r_limit = max(1, _INT32_SAFE // max(1, self.scoring.match))
         with self.gcups.measure_lazy() as done:
             for n_pad, ref_idx in sorted(ref_groups.items()):
-                for m_pad, read_idx in sorted(read_groups.items()):
-                    r = len(read_idx)
-                    reads_enc = encode_batch(
-                        [reads[i] for i in read_idx], m_pad, READ_PAD
-                    )
-                    if diag_path:
-                        budget = _TABLE_BUDGET // max(1, (n_pad + m_pad) * m_pad)
-                    else:
-                        budget = _SCORE_BUDGET // max(1, r * n_pad)
-                    c_block = max(1, min(len(ref_idx), budget))
-                    for start in range(0, len(ref_idx), c_block):
-                        chunk = ref_idx[start : start + c_block]
-                        refs_enc = encode_batch(
-                            [ref_seqs[i] for i in chunk], n_pad, REF_PAD
+                for m_pad, all_read_idx in sorted(read_groups.items()):
+                    r_block = max(1, r_limit // m_pad)
+                    for rs in range(0, len(all_read_idx), r_block):
+                        read_idx = all_read_idx[rs : rs + r_block]
+                        r = len(read_idx)
+                        reads_enc = encode_batch(
+                            [reads[i] for i in read_idx], m_pad, READ_PAD
                         )
-                        total_cells += sum(
-                            len(reads[i]) for i in read_idx
-                        ) * sum(len(ref_seqs[i]) for i in chunk)
-                        dev = self._score_grid_dev(reads_enc, refs_enc)
-                        pending.append((chunk, _col_sums(dev)))
+                        if diag_path:
+                            budget = _TABLE_BUDGET // max(
+                                1, (n_pad + m_pad) * m_pad
+                            )
+                        else:
+                            budget = _SCORE_BUDGET // max(1, r * n_pad)
+                        c_block = max(1, min(len(ref_idx), budget))
+                        for start in range(0, len(ref_idx), c_block):
+                            chunk = ref_idx[start : start + c_block]
+                            refs_enc = encode_batch(
+                                [ref_seqs[i] for i in chunk], n_pad, REF_PAD
+                            )
+                            total_cells += sum(
+                                len(reads[i]) for i in read_idx
+                            ) * sum(len(ref_seqs[i]) for i in chunk)
+                            pending.append(
+                                (chunk, self._col_sums_dev(reads_enc, refs_enc))
+                            )
             # ONE device concat + ONE fetch: each np.asarray is a
             # blocking round-trip (tens of ms via a remote TPU tunnel).
             if len(pending) == 1:
@@ -262,8 +273,7 @@ class BatchBackend:
                     cols.append(flat[off : off + col.shape[0]])
                     off += col.shape[0]
             for (chunk, _), col in zip(pending, cols):
-                # int32 device sums: exact while R * match * M < 2^31
-                # (~3M reads of 128bp at +5) — beyond that, chunk reads.
+                # Exact: r_block above bounds each dispatch's int32 sums.
                 totals[chunk] += col[: len(chunk)].astype(np.int64)
             done(total_cells)
         return totals

@@ -276,7 +276,9 @@ def _diag_kernel(
 def _auto_unroll(
     unroll: int, rb: int, m: int, win_rows: int, extra_regs: int = 0
 ) -> int:
-    """Largest even unroll <= requested that fits Mosaic's scoped VMEM.
+    """Largest even unroll <= requested that fits Mosaic's scoped VMEM,
+    or 0 if no even unroll >= 2 fits (callers must then shrink the
+    window — smaller chunk — or fall back to the chunked kernel).
 
     The kernel's scoped-vmem stack is ~(0.65*unroll + 4 + extra_regs)
     (RB, M) int32 values (the unrolled diagonal chain — Mosaic keeps each
@@ -291,17 +293,79 @@ def _auto_unroll(
     unroll=64.
     """
     limit = 16.0e6
-    while unroll > 2:
+    unroll &= ~1  # the diag kernels require an even unroll (see _diag_kernel)
+    while unroll >= 2:
         est = 4 * (
             (0.65 * unroll + 4 + extra_regs) * rb * m + 3 * win_rows * m
         )
         if est <= limit:
-            break
+            return unroll
         # Descend in even steps of 8 (not halving): at rb=256/m=256 the
         # largest fitting unroll is 40 (287 GCUPS) vs 32 from halving
-        # (278 GCUPS).
-        unroll = unroll - 8 if unroll > 8 else unroll // 2
-    return max(2, unroll)
+        # (278 GCUPS).  Below 8, halve with evenness forced.
+        unroll = unroll - 8 if unroll > 8 else (unroll // 2) & ~1
+    return 0
+
+
+def diag_read_block(r_pad: int, m_pad: int) -> int:
+    """Wavefront read block: largest halving of ``r_pad`` that stays a
+    multiple of 8, subject to rb * m <= 64k int32 elements.
+
+    (For 1.5-mantissa ladder row counts like 384 the result is 192 —
+    not a power of two; the invariant is divisibility by 8, the Pallas
+    grid divisor.)  Bigger blocks feed the serial diagonal chain more
+    ILP (rb=512 at m=128 measures 331-354 GCUPS vs 82 at rb=64), but
+    past rb*m = 64k the scoped-VMEM cap forces the unroll down faster
+    than the extra rows pay (rb=512/m=256 measured 253 vs 284 at
+    rb=256/m=256)."""
+    rb = r_pad
+    while rb > 8 and rb * m_pad > 65536 and (rb // 2) % 8 == 0:
+        rb //= 2
+    return rb
+
+
+def plan_diag(read_block: int, m: int, n: int, unroll: int = 64):
+    """Resolve (unroll, t_pad) for the whole-table diag kernel.
+
+    Returns None when no even unroll >= 2 fits the scoped-VMEM model —
+    the triple-buffered (t_pad, m) window alone can exceed the limit for
+    long refs x wide reads, in which case callers must stream the window
+    (``pallas_score_grid_diag_chunked``) instead of dispatching a config
+    the model says cannot fit.
+    """
+    diags = m + n - 1
+    t_pad = -(-(diags + unroll - 1) // 8) * 8
+    u = _auto_unroll(unroll, read_block, m, t_pad)
+    if u == 0:
+        return None
+    t_pad = -(-(diags + u - 1) // 8) * 8
+    return u, t_pad
+
+
+def _plan_chunk(
+    read_block: int, m: int, chunk: int, unroll: int, extra_regs: int
+):
+    """Resolve (chunk, unroll) for the chunked diag kernels.
+
+    Halves the chunk until some even unroll fits scoped VMEM (the
+    triple-buffered (chunk, m) window is the dominant term for wide
+    reads), then shrinks the unroll to a divisor of the chunk.
+    """
+    while True:
+        u = _auto_unroll(unroll, read_block, m, chunk, extra_regs=extra_regs)
+        if u:
+            break
+        if chunk <= 8:
+            raise ValueError(
+                f"no chunked-kernel config fits scoped VMEM at "
+                f"read_block={read_block}, m={m}"
+            )
+        chunk //= 2
+    while u > 2 and chunk % u != 0:
+        u -= 2  # the chunked grid needs unroll | chunk
+    if chunk % u != 0 or chunk % 8 != 0:
+        raise ValueError(f"chunk={chunk} must be a multiple of unroll and 8")
+    return chunk, u
 
 
 @functools.partial(jax.jit, static_argnames=("m", "t_pad"))
@@ -377,9 +441,14 @@ def pallas_score_grid_diag(
     diags = m + n - 1
     # Sublane-align the table AND guarantee spare PAD rows for the
     # kernel's unroll-diagonals-per-step overshoot.
-    t_pad = -(-(diags + unroll - 1) // 8) * 8
-    unroll = _auto_unroll(unroll, read_block, m, t_pad)
-    t_pad = -(-(diags + unroll - 1) // 8) * 8
+    plan = plan_diag(read_block, m, n, unroll)
+    if plan is None:
+        raise ValueError(
+            f"whole-table diag kernel cannot fit scoped VMEM at "
+            f"read_block={read_block}, m={m}, n={n}; use "
+            f"pallas_score_grid_diag_chunked"
+        )
+    unroll, t_pad = plan
     reads_i = jnp.asarray(reads).astype(jnp.int32)
     # Built OUTSIDE the score jit (see _diag_windows: layout forcing).
     windows = _diag_windows(jnp.asarray(refs).astype(jnp.int32), m, t_pad)
@@ -550,11 +619,7 @@ def pallas_score_grid_diag_chunked(
     c, n = refs.shape
     if r % read_block != 0:
         raise ValueError(f"R={r} must be a multiple of read_block={read_block}")
-    unroll = _auto_unroll(unroll, read_block, m, chunk, extra_regs=4)
-    while unroll > 2 and chunk % unroll != 0:
-        unroll -= 2  # the chunked grid needs unroll | chunk
-    if chunk % unroll != 0 or chunk % 8 != 0:
-        raise ValueError(f"chunk={chunk} must be a multiple of unroll and 8")
+    chunk, unroll = _plan_chunk(read_block, m, chunk, unroll, extra_regs=4)
     match, mismatch, gap = int(match), int(mismatch), int(gap)
     diags = m + n - 1
     num_chunks = -(-diags // chunk)
@@ -712,11 +777,7 @@ def pallas_argmax_grid_diag_chunked(
     c, n = refs.shape
     if r % read_block != 0:
         raise ValueError(f"R={r} must be a multiple of read_block={read_block}")
-    unroll = _auto_unroll(unroll, read_block, m, chunk, extra_regs=8)
-    while unroll > 2 and chunk % unroll != 0:
-        unroll -= 2  # the chunked grid needs unroll | chunk
-    if chunk % unroll != 0 or chunk % 8 != 0:
-        raise ValueError(f"chunk={chunk} must be a multiple of unroll and 8")
+    chunk, unroll = _plan_chunk(read_block, m, chunk, unroll, extra_regs=8)
     match, mismatch, gap = int(match), int(mismatch), int(gap)
     diags = m + n - 1
     num_chunks = -(-diags // chunk)

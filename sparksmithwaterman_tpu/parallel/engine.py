@@ -24,7 +24,7 @@ job in the reference, ``src/sw/DistributedSW.java:186``).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
@@ -43,13 +43,52 @@ from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
 from sparksmithwaterman_tpu.ops.recurrence import score_grid
 
 
-def _pad_axis0(arr: np.ndarray, multiple: int, fill: int) -> np.ndarray:
-    n = arr.shape[0]
-    n_pad = -(-n // multiple) * multiple
-    if n_pad == n:
-        return arr
-    pad = np.full((n_pad - n,) + arr.shape[1:], fill, arr.dtype)
-    return np.concatenate([arr, pad], axis=0)
+def _kernel_plan(rb: int, m: int, n: int):
+    """Per-shard diag-kernel plan: whole-table when it fits scoped VMEM
+    (``plan_diag``'s calibrated model), else the streamed chunked form.
+
+    Single source of truth shared with the single-device wrappers
+    (``ops/pallas_score``) — the sharded path previously hardcoded
+    unroll=64, which OOMs on hardware for reads padded past 128bp.
+    """
+    from sparksmithwaterman_tpu.models.batch_backend import _CHUNKED_REF_N
+    from sparksmithwaterman_tpu.ops.pallas_score import _plan_chunk, plan_diag
+
+    diags = m + n - 1
+    if n <= _CHUNKED_REF_N:
+        p = plan_diag(rb, m, n)
+        if p is not None:
+            unroll, t_pad = p
+            return dict(
+                mode="whole", unroll=unroll, t_pad=t_pad, diags=diags
+            )
+    chunk, unroll = _plan_chunk(rb, m, 2048, 64, extra_regs=4)
+    num_chunks = -(-diags // chunk)
+    return dict(
+        mode="chunked",
+        unroll=unroll,
+        t_pad=num_chunks * chunk,
+        diags=diags,
+        chunk=chunk,
+        num_chunks=num_chunks,
+    )
+
+
+def _sharded_windows(refs, mesh, refs_axis, m, t_pad):
+    """Per-diagonal window tables, built with refs ALREADY sharded over
+    ``refs_axis`` (each device builds only its shard's table, in
+    parallel) — building them inside the score jit hands the Pallas
+    kernel a non-default layout and the window DMA goes strided (136 vs
+    228 GCUPS measured on v5e; see ``ops/pallas_score._diag_windows``).
+    """
+    from jax.sharding import NamedSharding
+
+    from sparksmithwaterman_tpu.ops.pallas_score import _diag_windows
+
+    refs_sharded = jax.device_put(
+        np.asarray(refs, np.int32), NamedSharding(mesh, P(refs_axis, None))
+    )
+    return _diag_windows(refs_sharded, m, t_pad)
 
 
 def sharded_score_grid(
@@ -63,6 +102,7 @@ def sharded_score_grid(
     reads_axis="reads",
     refs_axis="refs",
     kernel_params=None,
+    interpret=False,
 ):
     """(R, C) score grid computed with reads and refs sharded on the mesh.
 
@@ -71,41 +111,26 @@ def sharded_score_grid(
 
     ``kernel_params``: None for the portable lax path, or a static
     ``(match, mismatch, gap, read_block)`` tuple to run the Pallas
-    wavefront kernel on each shard (TPU; per-shard read count must be a
-    multiple of read_block).
-
-    On the Pallas path the per-diagonal window table is built FIRST, in
-    its own jit with the refs already sharded over ``refs_axis`` (each
-    device builds only its shard's table, in parallel) — building it
-    inside the score jit hands the Pallas kernel a non-default layout
-    and the window DMA goes strided (136 vs 228 GCUPS measured on v5e;
-    see ``ops/pallas_score._diag_windows``).
+    wavefront kernel on each shard (per-shard read count must be a
+    multiple of read_block; ``interpret=True`` runs the kernel in
+    interpret mode for off-TPU CI).  The per-shard unroll/chunking is
+    resolved by the calibrated VMEM model (``_kernel_plan``).
     """
     if kernel_params is not None:
-        from jax.sharding import NamedSharding
-
-        from sparksmithwaterman_tpu.ops.pallas_score import _diag_windows
-
         km, kmm, kg, rb = kernel_params
-        m = reads.shape[1]
-        n = refs.shape[1]
-        diags = m + n - 1
-        unroll = 64
-        t_pad = -(-(diags + unroll - 1) // 8) * 8
-        refs_sharded = jax.device_put(
-            np.asarray(refs, np.int32),
-            NamedSharding(mesh, P(refs_axis, None)),
-        )
-        windows = _diag_windows(refs_sharded, m, t_pad)
-        return _sharded_diag_call(
+        m, n = reads.shape[1], refs.shape[1]
+        plan = _kernel_plan(rb, m, n)
+        windows = _sharded_windows(refs, mesh, refs_axis, m, plan["t_pad"])
+        return _sharded_kernel_call(
             jnp.asarray(reads).astype(jnp.int32),
             windows,
             mesh=mesh,
             reads_axis=reads_axis,
             refs_axis=refs_axis,
             kernel_params=kernel_params,
-            diags=diags,
-            unroll=unroll,
+            plan=tuple(sorted(plan.items())),
+            totals=False,
+            interpret=interpret,
         )
     return _sharded_lax_call(
         reads,
@@ -122,10 +147,11 @@ def sharded_score_grid(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "reads_axis", "refs_axis", "kernel_params", "diags", "unroll"
+        "mesh", "reads_axis", "refs_axis", "kernel_params", "plan",
+        "totals", "interpret",
     ),
 )
-def _sharded_diag_call(
+def _sharded_kernel_call(
     reads_i,
     windows,
     *,
@@ -133,33 +159,61 @@ def _sharded_diag_call(
     reads_axis,
     refs_axis,
     kernel_params,
-    diags,
-    unroll,
+    plan,
+    totals,
+    interpret,
 ):
-    from sparksmithwaterman_tpu.ops.pallas_score import _score_diag_call
+    """shard_map'd Pallas dispatch: every device runs the wavefront
+    kernel on its (read-shard x ref-shard) block; ``totals=True`` sums
+    the block's read axis and psums partial totals over ``reads_axis``
+    (the collective merge of the reference's DistributeReads design
+    note, ``src/sw/Distribution.java:467-468``)."""
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        _score_chunked_call,
+        _score_diag_call,
+    )
 
     km, kmm, kg, rb = kernel_params
+    p = dict(plan)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(reads_axis, None), P(refs_axis, None, None)),
-        out_specs=P(reads_axis, refs_axis),
+        out_specs=P(refs_axis) if totals else P(reads_axis, refs_axis),
         check_vma=False,
     )
     def block(reads_blk, windows_blk):
-        return _score_diag_call(
-            reads_blk,
-            windows_blk,
-            match=km,
-            mismatch=kmm,
-            gap=kg,
-            read_block=rb,
-            diags=diags,
-            dtype=jnp.int32,
-            unroll=unroll,
-            interpret=False,
-        )
+        if p["mode"] == "whole":
+            scores = _score_diag_call(
+                reads_blk,
+                windows_blk,
+                match=km,
+                mismatch=kmm,
+                gap=kg,
+                read_block=rb,
+                diags=p["diags"],
+                dtype=jnp.int32,
+                unroll=p["unroll"],
+                interpret=interpret,
+            )
+        else:
+            scores = _score_chunked_call(
+                reads_blk,
+                windows_blk,
+                match=km,
+                mismatch=kmm,
+                gap=kg,
+                read_block=rb,
+                chunk=p["chunk"],
+                unroll=p["unroll"],
+                num_chunks=p["num_chunks"],
+                interpret=interpret,
+            )
+        if not totals:
+            return scores
+        local = jnp.sum(scores, axis=0, dtype=jnp.int32)
+        return jax.lax.psum(local, reads_axis)
 
     return block(reads_i, windows)
 
@@ -197,6 +251,7 @@ def sharded_totals(
     reads_axis="reads",
     refs_axis="refs",
     kernel_params=None,
+    interpret=False,
 ):
     """(C,) per-reference totals; the reads-axis partial sums meet in a psum.
 
@@ -211,29 +266,20 @@ def sharded_totals(
     wavefront kernel per shard (windows pre-built sharded, see there).
     """
     if kernel_params is not None:
-        from jax.sharding import NamedSharding
-
-        from sparksmithwaterman_tpu.ops.pallas_score import _diag_windows
-
-        m = reads.shape[1]
-        n = refs.shape[1]
-        diags = m + n - 1
-        unroll = 64
-        t_pad = -(-(diags + unroll - 1) // 8) * 8
-        refs_sharded = jax.device_put(
-            np.asarray(refs, np.int32),
-            NamedSharding(mesh, P(refs_axis, None)),
-        )
-        windows = _diag_windows(refs_sharded, m, t_pad)
-        return _sharded_totals_diag_call(
+        km, kmm, kg, rb = kernel_params
+        m, n = reads.shape[1], refs.shape[1]
+        plan = _kernel_plan(rb, m, n)
+        windows = _sharded_windows(refs, mesh, refs_axis, m, plan["t_pad"])
+        return _sharded_kernel_call(
             jnp.asarray(reads).astype(jnp.int32),
             windows,
             mesh=mesh,
             reads_axis=reads_axis,
             refs_axis=refs_axis,
             kernel_params=kernel_params,
-            diags=diags,
-            unroll=unroll,
+            plan=tuple(sorted(plan.items())),
+            totals=True,
+            interpret=interpret,
         )
     return _sharded_totals_lax_call(
         reads,
@@ -245,53 +291,6 @@ def sharded_totals(
         reads_axis=reads_axis,
         refs_axis=refs_axis,
     )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mesh", "reads_axis", "refs_axis", "kernel_params", "diags", "unroll"
-    ),
-)
-def _sharded_totals_diag_call(
-    reads_i,
-    windows,
-    *,
-    mesh: Mesh,
-    reads_axis,
-    refs_axis,
-    kernel_params,
-    diags,
-    unroll,
-):
-    from sparksmithwaterman_tpu.ops.pallas_score import _score_diag_call
-
-    km, kmm, kg, rb = kernel_params
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(reads_axis, None), P(refs_axis, None, None)),
-        out_specs=P(refs_axis),
-        check_vma=False,
-    )
-    def block(reads_blk, windows_blk):
-        scores = _score_diag_call(
-            reads_blk,
-            windows_blk,
-            match=km,
-            mismatch=kmm,
-            gap=kg,
-            read_block=rb,
-            diags=diags,
-            dtype=jnp.int32,
-            unroll=unroll,
-            interpret=False,
-        )
-        local = jnp.sum(scores, axis=0, dtype=jnp.int32)
-        return jax.lax.psum(local, reads_axis)
-
-    return block(reads_i, windows)
 
 
 @functools.partial(
@@ -338,38 +337,55 @@ class ShardedBackend(BatchBackend):
         self._dr = mesh.shape["reads"]
         self._dc = mesh.shape["refs"]
 
-    def _score_grid(self, reads_enc: np.ndarray, refs_enc: np.ndarray) -> np.ndarray:
-        from sparksmithwaterman_tpu.models.batch_backend import _pad_rows, _quantize
+    def _shard_pad(self, reads_enc: np.ndarray, refs_enc: np.ndarray):
+        """Pad both batch axes to mesh-divisible quantized row counts.
+
+        Reads quantize on the 1.5-mantissa ladder with base ``8 * dr``
+        so every shard's row count stays a multiple of 8 (the Pallas
+        grid divisor); refs to ``8 * dc`` powers.  Returns the padded
+        arrays plus the static kernel params (read_block resolved per
+        SHARD by the same calibrated model as the single-device path).
+        """
+        from sparksmithwaterman_tpu.models.batch_backend import (
+            _pad_rows,
+            _quantize,
+            _quantize_15,
+        )
+        from sparksmithwaterman_tpu.ops.pallas_score import diag_read_block
 
         r, c = reads_enc.shape[0], refs_enc.shape[0]
-        # Quantize row counts (compile-shape stability), then round up to
-        # mesh-axis multiples for even sharding.  The reads quantum is
-        # 8 * dr so every shard's row count stays a multiple of 8 (the
-        # Pallas read_block divisor).
-        reads_p = _pad_axis0(
-            _pad_rows(reads_enc, _quantize(r, 8 * self._dr), READ_PAD),
-            self._dr,
-            READ_PAD,
+        reads_p = _pad_rows(
+            reads_enc, _quantize_15(r, 8 * self._dr), READ_PAD
         )
-        refs_p = _pad_axis0(
-            _pad_rows(refs_enc, _quantize(c, 8), REF_PAD), self._dc, REF_PAD
-        )
+        refs_p = _pad_rows(refs_enc, _quantize(c, 8 * self._dc), REF_PAD)
         kernel_params = None
         if self.use_pallas and self.kernel == "diag":
             shard_r = reads_p.shape[0] // self._dr
-            kernel_params = self._params_static + (min(256, shard_r),)
-        scores = np.asarray(
-            sharded_score_grid(
-                reads_p,
-                refs_p,
-                *self._params,
-                mesh=self.mesh,
-                kernel_params=kernel_params,
-            )
-        )
-        return scores[:r, :c]
+            rb = diag_read_block(shard_r, reads_p.shape[1])
+            kernel_params = self._params_static + (rb,)
+        return reads_p, refs_p, kernel_params
 
-    def totals(self, reads: Sequence[str], ref_seqs: Sequence[str]) -> np.ndarray:
-        # Same bucketing as BatchBackend (via _score_grid override); a
-        # device-resident psum variant is used by the bench path.
-        return super().totals(reads, ref_seqs)
+    def _score_grid_dev(self, reads_enc: np.ndarray, refs_enc: np.ndarray):
+        reads_p, refs_p, kernel_params = self._shard_pad(reads_enc, refs_enc)
+        return sharded_score_grid(
+            reads_p,
+            refs_p,
+            *self._params,
+            mesh=self.mesh,
+            kernel_params=kernel_params,
+        )
+
+    def _col_sums_dev(self, reads_enc: np.ndarray, refs_enc: np.ndarray):
+        """Device-resident partial-total merge: every device sums its
+        read-shard's scores and the shards meet in a psum over the
+        reads axis — the sharded hot path of ``totals`` (the executor
+        dispatch of ``src/sw/Distribution.java:337-353``, minus its
+        driver-side collect)."""
+        reads_p, refs_p, kernel_params = self._shard_pad(reads_enc, refs_enc)
+        return sharded_totals(
+            reads_p,
+            refs_p,
+            *self._params,
+            mesh=self.mesh,
+            kernel_params=kernel_params,
+        )

@@ -150,9 +150,64 @@ def test_auto_unroll_vmem_model():
     # The hardware-OOM config is capped to a fitting unroll (40 is the
     # largest step-8 value whose estimate fits the 16MB scoped limit).
     assert _auto_unroll(64, 256, 256, 2368) == 40
-    # Never returns less than 2, and preserves evenness.
-    assert _auto_unroll(64, 1024, 1024, 65536) == 2
+    # Returns 0 (not a doomed unroll=2) when even the minimum cannot fit:
+    # the triple-buffered window term alone exceeds the limit here.
+    assert _auto_unroll(64, 1024, 1024, 65536) == 0
+    # Preserves evenness through every descent branch (6 -> never 3).
     assert _auto_unroll(48, 256, 256, 2368) % 2 == 0
+    for u0 in (6, 14):
+        u = _auto_unroll(u0, 256, 320, 640)
+        assert u % 2 == 0
+
+
+def test_plan_diag_falls_back_to_chunked():
+    """ADVICE r1 (medium): m_pad=256 reads vs refs padded to 6144 fit
+    the old `n <= _CHUNKED_REF_N` gate but the whole-table window alone
+    exceeds scoped VMEM at ANY unroll — plan_diag must say so, and the
+    chunked planner must produce a fitting config instead."""
+    from sparksmithwaterman_tpu.ops.pallas_score import _plan_chunk, plan_diag
+
+    assert plan_diag(256, 256, 6144) is None
+    chunk, unroll = _plan_chunk(256, 256, 2048, 64, extra_regs=4)
+    assert chunk % 8 == 0 and chunk % unroll == 0 and unroll % 2 == 0
+    # The resolved config fits the VMEM model.
+    from sparksmithwaterman_tpu.ops.pallas_score import _auto_unroll
+
+    assert _auto_unroll(unroll, 256, 256, chunk, extra_regs=4) == unroll
+    # Sane configs still pick the whole table.
+    assert plan_diag(512, 128, 2048) is not None
+
+
+def test_batch_backend_routes_unfittable_to_chunked(monkeypatch, make_seq):
+    """_score_grid_dev must pick the chunked kernel when plan_diag says
+    the whole-table form cannot fit (not dispatch a doomed config)."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models import batch_backend as bb
+
+    from sparksmithwaterman_tpu.ops import pallas_score as ps
+
+    config = AlignConfig(ref_dir=".", in_dir=".", out_dir=".")
+    be = bb.BatchBackend(config)
+    be.use_pallas = True  # force the kernel path on CPU via interpret
+    calls = {"whole": 0, "chunked": 0}
+
+    def fake_whole(*a, **k):
+        calls["whole"] += 1
+        return ps.pallas_score_grid_diag(*a, **k, interpret=True)
+
+    def fake_chunked(*a, **k):
+        calls["chunked"] += 1
+        return ps.pallas_score_grid_diag_chunked(*a, **k, interpret=True)
+
+    monkeypatch.setattr(bb, "pallas_score_grid_diag", fake_whole)
+    monkeypatch.setattr(bb, "pallas_score_grid_diag_chunked", fake_chunked)
+    monkeypatch.setattr(bb, "plan_diag", lambda *a, **k: None)
+    reads_enc = encode_batch([make_seq(12) for _ in range(8)], 16, READ_PAD)
+    refs_enc = encode_batch([make_seq(50) for _ in range(8)], 64, REF_PAD)
+    got = np.asarray(be._score_grid_dev(reads_enc, refs_enc))[:8, :8]
+    want = np.asarray(score_grid(reads_enc, refs_enc, 5, -3, -4))
+    np.testing.assert_array_equal(got, want)
+    assert calls["chunked"] == 1 and calls["whole"] == 0
 
 
 def test_diag_kernel_wide_reads_matches_lax(make_seq):

@@ -48,8 +48,9 @@ def test_sharded_totals_psum(make_seq):
 
 
 @pytest.mark.parametrize("strategy", ["shard_refs", "shard_reads"])
-def test_sharded_backend_matches_batch(tmp_path, make_seq, strategy):
+def test_sharded_backend_matches_batch(tmp_path, make_seq, strategy, monkeypatch):
     from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+    from sparksmithwaterman_tpu.parallel import engine
 
     config = AlignConfig(
         ref_dir=str(tmp_path),
@@ -59,6 +60,16 @@ def test_sharded_backend_matches_batch(tmp_path, make_seq, strategy):
         read_bucket=16,
         ref_bucket=32,
     )
+    # Spy: the hot path must actually route through the mesh primitive
+    # (round 1 regression: ShardedBackend.totals ran single-device).
+    calls = {"n": 0}
+    real = engine.sharded_totals
+
+    def spy(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(engine, "sharded_totals", spy)
     # Ragged, non-multiple-of-mesh counts on purpose.
     reads = [make_seq(int(l)) for l in np.random.default_rng(2).integers(1, 15, 11)]
     refs = [make_seq(int(l)) for l in np.random.default_rng(3).integers(5, 30, 5)]
@@ -67,6 +78,81 @@ def test_sharded_backend_matches_batch(tmp_path, make_seq, strategy):
     np.testing.assert_array_equal(
         sharded.totals(reads, refs), batch.totals(reads, refs)
     )
+    assert calls["n"] > 0, "ShardedBackend.totals never used the mesh"
     assert sharded.sites_for_ref(refs[0], reads) == batch.sites_for_ref(
         refs[0], reads
     )
+
+
+def test_sharded_backend_grid_spans_devices(make_seq, tmp_path):
+    """The sharded score grid must actually live on >1 device."""
+    config = AlignConfig(
+        ref_dir=str(tmp_path), in_dir=str(tmp_path), out_dir=str(tmp_path),
+        strategy="shard_refs",
+    )
+    backend = ShardedBackend(config)
+    reads_enc = encode_batch([make_seq(12) for _ in range(8)], 16, READ_PAD)
+    refs_enc = encode_batch([make_seq(30) for _ in range(8)], 32, REF_PAD)
+    dev = backend._score_grid_dev(reads_enc, refs_enc)
+    assert len(dev.sharding.device_set) == 8
+    want = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS))
+    np.testing.assert_array_equal(np.asarray(dev)[:8, :8], want)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (8, 1)])
+def test_sharded_kernel_path_interpret(make_seq, shape):
+    """Compile + run the Pallas path under shard_map (interpret mode).
+
+    Round-1 gap: the sharded kernel path compiled nowhere in CI; its
+    first hardware run would have been its first execution ever.
+
+    Mesh shapes are (refs, reads); per-shard read rows must divide by
+    read_block=8, so 32 reads cover reads-axis sizes 1 and 4.
+    """
+    mesh = build_mesh(shape)
+    rng = np.random.default_rng(4)
+    reads = [make_seq(int(l)) for l in rng.integers(4, 16, 32)]
+    refs = [make_seq(int(l)) for l in rng.integers(10, 60, 8)]
+    reads_enc = encode_batch(reads, 16, READ_PAD)
+    refs_enc = encode_batch(refs, 64, REF_PAD)
+    kp = (5, -3, -4, 8)
+    got = np.asarray(
+        sharded_score_grid(
+            reads_enc, refs_enc, *PARAMS, mesh=mesh, kernel_params=kp,
+            interpret=True,
+        )
+    )
+    want = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS))
+    np.testing.assert_array_equal(got, want)
+    tot = np.asarray(
+        sharded_totals(
+            reads_enc, refs_enc, *PARAMS, mesh=mesh, kernel_params=kp,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(tot, want.sum(axis=0))
+
+
+def test_sharded_kernel_chunked_mode_interpret(make_seq, monkeypatch):
+    """Long refs route to the chunked kernel inside shard_map."""
+    from sparksmithwaterman_tpu.models import batch_backend
+
+    monkeypatch.setattr(batch_backend, "_CHUNKED_REF_N", 32)
+    mesh = build_mesh((2, 4))  # (refs, reads): 32 reads -> 8 rows/shard
+    rng = np.random.default_rng(5)
+    reads = [make_seq(int(l)) for l in rng.integers(4, 16, 32)]
+    refs = [make_seq(int(l)) for l in rng.integers(30, 64, 8)]
+    reads_enc = encode_batch(reads, 16, READ_PAD)
+    refs_enc = encode_batch(refs, 64, REF_PAD)
+    kp = (5, -3, -4, 8)
+    from sparksmithwaterman_tpu.parallel.engine import _kernel_plan
+
+    assert _kernel_plan(8, 16, 64)["mode"] == "chunked"
+    got = np.asarray(
+        sharded_score_grid(
+            reads_enc, refs_enc, *PARAMS, mesh=mesh, kernel_params=kp,
+            interpret=True,
+        )
+    )
+    want = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS))
+    np.testing.assert_array_equal(got, want)

@@ -109,3 +109,18 @@ def test_ref_batch_bp_flush_parity(tiny_dataset, tmp_path):
         r"Execution Time = \d+ ms", "", open(p).read()
     )
     assert strip(base[0]) == strip(tiny[0])
+
+
+@pytest.mark.parametrize("strategy", ["shard_refs", "shard_reads"])
+def test_sharded_pipeline_report_byte_identical(tiny_dataset, tmp_path, strategy):
+    """End-to-end: the sharded strategies produce reports byte-identical
+    to the batch backend (everything except the Execution Time line)."""
+    ref_dir, in_dir, _ = tiny_dataset
+
+    def run(s):
+        out = tmp_path / f"out_{s}"
+        paths = run_pipeline(_config(ref_dir, in_dir, out, strategy=s))
+        text = open(paths[0]).read()
+        return re.sub(r"Execution Time = \d+ ms", "Execution Time = X", text)
+
+    assert run(strategy) == run("batch")
