@@ -147,7 +147,9 @@ def sites_from_trace(
     if m == 0 or n == 0:
         return []
     if best == 0:
-        return [(0, ("", ""))] * (m * n)
+        from sparksmithwaterman_tpu.ops.traceback import degenerate_sites
+
+        return degenerate_sites(m, n)
     sites: List[Site] = []
     for t in range(count):
         sites.append(

@@ -179,8 +179,11 @@ def sites_for_pair_long(
         else find_max_cells(read_seq, ref_seq, params)
     )
     if best == 0:
-        # Degenerate all-zero matrix: every cell "ties" (oracle parity).
-        return [(0, ("", ""))] * (m * n)
+        # Degenerate all-zero matrix: every cell "ties" (oracle parity,
+        # capped for long refs — see ops/traceback.degenerate_sites).
+        from sparksmithwaterman_tpu.ops.traceback import degenerate_sites
+
+        return degenerate_sites(m, n)
 
     w = window_width(m, n)
     w_pad = max(ref_bucket, -(-w // ref_bucket) * ref_bucket)

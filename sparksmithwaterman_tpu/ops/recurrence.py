@@ -47,7 +47,11 @@ DIR_ALIGN = 1
 DIR_INS = 2
 DIR_DEL = 3
 
-_NEG_INF = jnp.int32(-(2**30))
+# Plain int, not jnp.int32: a concrete jnp scalar at module level would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize (must run before any backend init) for any
+# process that merely imports this package.
+_NEG_INF = -(2**30)
 
 
 def _shift_right(x: jnp.ndarray, fill=0) -> jnp.ndarray:

@@ -28,6 +28,20 @@ try:
 except Exception:  # pragma: no cover - native lib optional
     _native_traceback = None
 
+# Degenerate all-zero matrices make EVERY cell a "max cell"
+# (``SmithWaterman.java:176-185``), so exact parity emits m*n identical
+# (0, ("", "")) sites.  The reference never exceeded ~2kb refs x 500bp
+# reads (~1M cells); past this cap — only reachable with long-reference
+# inputs the reference could not process at all — the identical sites
+# are truncated instead of materializing e.g. 16.7M tuples for a 131kb
+# ref (documented deviation; see docs/architecture.md).
+DEGENERATE_SITE_CAP = 1 << 20
+
+
+def degenerate_sites(m: int, n: int) -> List[Site]:
+    """The all-zero-matrix site list: m*n empty sites, capped."""
+    return [(0, ("", ""))] * min(m * n, DEGENERATE_SITE_CAP)
+
 
 def sites_from_fill(
     h: np.ndarray,
@@ -49,8 +63,8 @@ def sites_from_fill(
     max_score = int(hr.max())
     if max_score == 0:
         # Degenerate: every cell ties the zero max; each traces to an
-        # empty alignment with beginning 0 (oracle parity).
-        return [(0, ("", ""))] * (m * n)
+        # empty alignment with beginning 0 (oracle parity, capped).
+        return degenerate_sites(m, n)
     cells = np.argwhere(hr == max_score)  # row-major, matching discovery order
     if _native_traceback is not None:
         return _native_traceback(dr, cells, ref_seq, read_seq, gap_char)

@@ -148,3 +148,87 @@ def test_per_shard_journal_resume(tmp_path):
             config, HostConfig(), backend=NoRescore(get_backend(config)),
             resume=True,
         )
+
+
+def test_real_two_process_distributed(tmp_path):
+    """UNMOCKED 2-process run: a real jax.distributed coordinator, real
+    process_allgather + sync_global_devices, shared-fs candidate merge.
+
+    Round-1 gap: the multi-process path was exercised only with
+    monkeypatched collectives (kept above as the fast smoke layer); the
+    reference assumed a real Spark cluster
+    (``src/sw/Distribution.java:305``).
+    """
+    import socket
+    import subprocess
+    import sys
+
+    ref_dir = tmp_path / "refs"
+    in_dir = tmp_path / "inputs"
+    ref_dir.mkdir()
+    in_dir.mkdir()
+    # 3 ref files -> round-robin shards of 2 + 1; winner in file 2 (the
+    # shard of process 1) so the merge must cross processes.
+    (ref_dir / "r1.fna").write_text(">gi|1|aa\nAACGTACGTTT\n")
+    (ref_dir / "r2.fna").write_text(">gi|2|bb\nTTTTACGTACGTAAAA\n>gi|3|cc\nGGGG\n")
+    (ref_dir / "r3.fna").write_text(">gi|4|dd\nCCCCCC\n")
+    (in_dir / "i1.fa").write_text("ACGTACGT\nCGTA\n")
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import os, sys\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        # Site customization may import jax (and pick the TPU platform)
+        # before this script runs; the config update still wins because
+        # backend init is lazy (same trick as tests/conftest.py).
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "pid = int(sys.argv[1])\n"
+        "from sparksmithwaterman_tpu.config import AlignConfig\n"
+        "from sparksmithwaterman_tpu.parallel.multihost import (\n"
+        "    HostConfig, run_multihost_pipeline)\n"
+        "host = HostConfig(num_processes=2, process_id=pid,\n"
+        f"                  coordinator_address='localhost:{port}')\n"
+        "host.initialize()\n"
+        "cfg = AlignConfig(\n"
+        f"    ref_dir={str(ref_dir)!r}, in_dir={str(in_dir)!r},\n"
+        f"    out_dir={str(tmp_path / 'out2p')!r}, strategy='serial')\n"
+        "run_multihost_pipeline(cfg, host)\n"
+    )
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # one device per process
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(driver), str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    # Ground truth: the single-process pipeline on the same data.
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models.pipeline import run_pipeline
+
+    ref = run_pipeline(
+        AlignConfig(
+            ref_dir=str(ref_dir), in_dir=str(in_dir),
+            out_dir=str(tmp_path / "out1p"), strategy="serial",
+        )
+    )
+
+    def strip(path):
+        return [
+            l for l in open(path).read().splitlines()
+            if not l.startswith("Execution Time")
+        ]
+
+    assert strip(tmp_path / "out2p" / "result1.txt") == strip(ref[0])
