@@ -41,7 +41,10 @@ DIR_DEL = 3
 
 
 def fill_matrices(
-    ref_seq: str, read_seq: str, scoring: ScoringScheme = ScoringScheme()
+    ref_seq: str,
+    read_seq: str,
+    scoring: ScoringScheme = ScoringScheme(),
+    tie_semantics: str = "serial",
 ) -> Tuple[np.ndarray, np.ndarray, int, List[Tuple[int, int]]]:
     """Fill the (m+1, n+1) score and direction matrices.
 
@@ -49,6 +52,21 @@ def fill_matrices(
     direction codes including the zero-overwrite quirk, and ``max_cells``
     is the row-major list of (i, j) with score == max_score (empty only
     when the read or ref is empty).
+
+    ``tie_semantics`` selects which of the reference's TWO cell-score
+    engines to mirror (their scores are identical; only the recorded
+    direction — hence the alignment *string* on tied paths — differs):
+
+    - ``"serial"``: ``SmithWaterman.GetCellScore``
+      (``SmithWaterman.java:217-252``) — candidates compared with ``>=``
+      in order deletion, insertion, alignment, so ties resolve
+      alignment > insertion > deletion, and a ZERO-valued candidate
+      still overwrites '-'.  This is the engine behind NoDistribution
+      and DistributeReference, and the project-wide parity oracle.
+    - ``"distributed"``: ``DistributedSW.GetCellScore``
+      (``DistributedSW.java:305-330``) — strict ``>`` in the same
+      order, so ties resolve deletion > insertion > alignment and
+      zero-score cells keep '-'.
     """
     ref = ref_seq.upper()
     read = read_seq.upper()
@@ -57,22 +75,25 @@ def fill_matrices(
     dirs = np.zeros((m + 1, n + 1), dtype=np.int8)
 
     match, mismatch, gap = scoring.match, scoring.mismatch, scoring.gap
+    if tie_semantics not in ("serial", "distributed"):
+        raise ValueError(f"unknown tie_semantics: {tie_semantics!r}")
+    strict = tie_semantics == "distributed"
 
     max_score = 0
     max_cells: List[Tuple[int, int]] = []
     for i in range(1, m + 1):
         for j in range(1, n + 1):
-            # Candidate order and >= comparisons mirror GetCellScore
-            # (SmithWaterman.java:217-252).
+            # Candidate order mirrors both engines (deletion, insertion,
+            # alignment); '>=' vs '>' is the whole difference.
             best, direction = 0, DIR_NONE
             d = scores[i, j - 1] + gap
-            if d >= best:
+            if d > best or (not strict and d == best):
                 best, direction = d, DIR_DEL
             ins = scores[i - 1, j] + gap
-            if ins >= best:
+            if ins > best or (not strict and ins == best):
                 best, direction = ins, DIR_INS
             a = scores[i - 1, j - 1] + (match if ref[j - 1] == read[i - 1] else mismatch)
-            if a >= best:
+            if a > best or (not strict and a == best):
                 best, direction = a, DIR_ALIGN
             scores[i, j] = best
             dirs[i, j] = direction
@@ -122,15 +143,22 @@ def traceback_one(
 
 
 def opt_alignments(
-    ref_seq: str, read_seq: str, scoring: ScoringScheme = ScoringScheme()
+    ref_seq: str,
+    read_seq: str,
+    scoring: ScoringScheme = ScoringScheme(),
+    tie_semantics: str = "serial",
 ) -> Tuple[int, List[Site]]:
     """Score one (ref, read) pair and trace all optimal alignments.
 
     Mirrors ``SmithWaterman.OptAlignments.call`` (SmithWaterman.java:62-92):
     returns (max_score, [(beginning, (aligned_ref, aligned_read)), ...])
     with one site per max cell in row-major discovery order.
+    ``tie_semantics="distributed"`` selects the reference's second engine
+    (``DistributedSW.OptAlignments``) — see :func:`fill_matrices`.
     """
-    scores, dirs, max_score, max_cells = fill_matrices(ref_seq, read_seq, scoring)
+    scores, dirs, max_score, max_cells = fill_matrices(
+        ref_seq, read_seq, scoring, tie_semantics
+    )
     sites = [
         traceback_one(cell, scores, dirs, ref_seq, read_seq, scoring.gap_char)
         for cell in max_cells

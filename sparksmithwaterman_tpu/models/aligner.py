@@ -57,6 +57,18 @@ class SerialBackend:
         sites.sort(key=lambda s: s[0])
         return sites
 
+    def best_of(
+        self, reads: Sequence[str], ref_seqs: Sequence[str]
+    ) -> Tuple[int, List[int]]:
+        """(best_total, tie_indices): the driver-side reduce of one batch
+        (``Distribution.java:601-613`` semantics: ties in encounter
+        order)."""
+        totals = self.totals(reads, ref_seqs)
+        if len(totals) == 0:
+            return 0, []
+        best = int(totals.max())
+        return best, [int(i) for i in np.flatnonzero(totals == best)]
+
 
 def get_backend(config: AlignConfig):
     """Resolve the configured strategy to a backend instance."""

@@ -145,6 +145,7 @@ class BatchBackend:
         # the lax implementation is the fast path.
         self.use_pallas = config.use_pallas and jax.default_backend() == "tpu"
         self.kernel = config.kernel
+        self.pack = config.pack_reads
         self._params = tuple(
             np.int32(v) for v in (self.scoring.match, self.scoring.mismatch, self.scoring.gap)
         )
@@ -168,7 +169,7 @@ class BatchBackend:
         never: padded rows contribute 0 to column sums).
         """
         r, c = reads_enc.shape[0], refs_enc.shape[0]
-        refs_enc = _pad_rows(refs_enc, _quantize(c, 8), REF_PAD)
+        refs_enc = _pad_rows(refs_enc, _quantize_15(c, 8), REF_PAD)
         if self.use_pallas and self.kernel == "diag":
             # Wavefront kernel: rows quantize on the finer 1.5-mantissa
             # ladder (row padding costs real FLOPs; see _quantize_15)
@@ -221,45 +222,8 @@ class BatchBackend:
         totals = np.zeros(len(ref_seqs), dtype=np.int64)
         if not reads or not ref_seqs:
             return totals
-        read_groups = _group_by_padded_len(reads, self.read_bucket)
-        # Geometric ref buckets: dispatch count dominates mixed-length
-        # throughput (see _group_by_padded_len).
-        ref_groups = _group_by_padded_len(ref_seqs, self.ref_bucket, geometric=True)
-        diag_path = self.use_pallas and self.kernel == "diag"
-        total_cells = 0
-        pending: List[Tuple[List[int], object]] = []  # (ref chunk, device col sums)
-        # int32 overflow guard: cap each dispatch's read count so the
-        # device column sums (and the sharded path's psum) stay exact —
-        # a dispatch's per-ref total is bounded by r * match * m_pad.
-        r_limit = max(1, _INT32_SAFE // max(1, self.scoring.match))
         with self.gcups.measure_lazy() as done:
-            for n_pad, ref_idx in sorted(ref_groups.items()):
-                for m_pad, all_read_idx in sorted(read_groups.items()):
-                    r_block = max(1, r_limit // m_pad)
-                    for rs in range(0, len(all_read_idx), r_block):
-                        read_idx = all_read_idx[rs : rs + r_block]
-                        r = len(read_idx)
-                        reads_enc = encode_batch(
-                            [reads[i] for i in read_idx], m_pad, READ_PAD
-                        )
-                        if diag_path:
-                            budget = _TABLE_BUDGET // max(
-                                1, (n_pad + m_pad) * m_pad
-                            )
-                        else:
-                            budget = _SCORE_BUDGET // max(1, r * n_pad)
-                        c_block = max(1, min(len(ref_idx), budget))
-                        for start in range(0, len(ref_idx), c_block):
-                            chunk = ref_idx[start : start + c_block]
-                            refs_enc = encode_batch(
-                                [ref_seqs[i] for i in chunk], n_pad, REF_PAD
-                            )
-                            total_cells += sum(
-                                len(reads[i]) for i in read_idx
-                            ) * sum(len(ref_seqs[i]) for i in chunk)
-                            pending.append(
-                                (chunk, self._col_sums_dev(reads_enc, refs_enc))
-                            )
+            pending, total_cells = self._dispatch_cols(reads, ref_seqs)
             # ONE device concat + ONE fetch: each np.asarray is a
             # blocking round-trip (tens of ms via a remote TPU tunnel).
             if len(pending) == 1:
@@ -273,10 +237,190 @@ class BatchBackend:
                     cols.append(flat[off : off + col.shape[0]])
                     off += col.shape[0]
             for (chunk, _), col in zip(pending, cols):
-                # Exact: r_block above bounds each dispatch's int32 sums.
+                # Exact: the dispatch loop bounds each int32 sum.
                 totals[chunk] += col[: len(chunk)].astype(np.int64)
             done(total_cells)
         return totals
+
+    def best_of(
+        self, reads: Sequence[str], ref_seqs: Sequence[str]
+    ) -> Tuple[int, List[int]]:
+        """(best_total, tie_indices) with the winner reduction ON DEVICE.
+
+        Host traffic is one scalar + a C-byte tie mask instead of C
+        int64 totals — the DistributeReference merge
+        (``src/sw/Distribution.java:341-353``) without collecting every
+        (score, ref, sites) tuple to the driver.  Tie indices ascend =
+        encounter order (the reference's ``==``-appends).
+        """
+        if not reads or not ref_seqs:
+            return 0, list(range(len(ref_seqs)))
+        import jax.numpy as jnp
+
+        with self.gcups.measure_lazy() as done:
+            pending, total_cells = self._dispatch_cols(reads, ref_seqs)
+            # Device-side per-ref accumulation.  A ref's total can span
+            # several read-chunk dispatches and exceed int32 (the same
+            # bound the host path handles in int64); with x64 disabled
+            # the accumulator is a (uint32 lo, int32 hi) carry pair —
+            # each dispatch's col is < 2^31 by the r_limit guard.
+            c = len(ref_seqs)
+            lo = jnp.zeros(c, jnp.uint32)
+            hi = jnp.zeros(c, jnp.int32)
+            for chunk, col in pending:
+                idx = jnp.asarray(np.asarray(chunk))
+                add = col[: len(chunk)].astype(jnp.uint32)
+                new_lo = lo.at[idx].add(add)
+                carry = (new_lo < lo).astype(jnp.int32)
+                lo, hi = new_lo, hi + carry
+            # Lexicographic (hi, lo) max + tie mask, packed into ONE
+            # fetch (a host round-trip costs ~43ms through the remote
+            # TPU tunnel; three scalar fetches would triple that).
+            best_hi = jnp.max(hi)
+            mask_hi = hi == best_hi
+            best_lo = jnp.max(jnp.where(mask_hi, lo, 0))
+            combined = np.asarray(
+                jnp.concatenate(
+                    [
+                        (mask_hi & (lo == best_lo)).astype(jnp.int32),
+                        jnp.stack(
+                            [best_hi, best_lo.astype(jnp.int32)]
+                        ),
+                    ]
+                )
+            )
+            mask = combined[:c]
+            best = (int(combined[c]) << 32) | (
+                int(combined[c + 1]) & 0xFFFFFFFF
+            )
+            done(total_cells)
+        return best, [int(i) for i in np.flatnonzero(mask)]
+
+    def _dispatch_cols(self, reads, ref_seqs):
+        """Dispatch every (read-chunk x ref-chunk) scoring call, PIPELINED
+        (device col sums are not fetched here), and return
+        ([(ref_chunk_indices, device_col_sums), ...], total_real_cells).
+
+        The packed wavefront path bins reads into kernel rows
+        (``ops/packing``) — one dispatch per ref chunk regardless of
+        read-length spread; other paths bucket reads by padded length.
+        int32 overflow guard: each dispatch's read set is capped so
+        r * match * m_pad < 2^31 - 2^24 keeps device sums exact.
+        """
+        diag_path = self.use_pallas and self.kernel == "diag"
+        ref_groups = _group_by_padded_len(ref_seqs, self.ref_bucket, geometric=True)
+        total_cells = 0
+        pending: List[Tuple[List[int], object]] = []
+        r_limit = max(1, _INT32_SAFE // max(1, self.scoring.match))
+        if diag_path and self.pack:
+            packs = self._pack_chunks(reads, r_limit)
+            for n_pad, ref_idx in sorted(ref_groups.items()):
+                for pack in packs:
+                    m_pack = pack["m_pack"]
+                    budget = _TABLE_BUDGET // max(1, (n_pad + m_pack) * m_pack)
+                    c_block = max(1, min(len(ref_idx), budget))
+                    for start in range(0, len(ref_idx), c_block):
+                        chunk = ref_idx[start : start + c_block]
+                        refs_enc = encode_batch(
+                            [ref_seqs[i] for i in chunk], n_pad, REF_PAD
+                        )
+                        total_cells += pack["read_bp"] * sum(
+                            len(ref_seqs[i]) for i in chunk
+                        )
+                        pending.append(
+                            (chunk, self._packed_col_sums(pack, refs_enc))
+                        )
+            return pending, total_cells
+        read_groups = _group_by_padded_len(reads, self.read_bucket)
+        for n_pad, ref_idx in sorted(ref_groups.items()):
+            for m_pad, all_read_idx in sorted(read_groups.items()):
+                r_block = max(1, r_limit // m_pad)
+                for rs in range(0, len(all_read_idx), r_block):
+                    read_idx = all_read_idx[rs : rs + r_block]
+                    r = len(read_idx)
+                    reads_enc = encode_batch(
+                        [reads[i] for i in read_idx], m_pad, READ_PAD
+                    )
+                    if diag_path:
+                        budget = _TABLE_BUDGET // max(1, (n_pad + m_pad) * m_pad)
+                    else:
+                        budget = _SCORE_BUDGET // max(1, r * n_pad)
+                    c_block = max(1, min(len(ref_idx), budget))
+                    for start in range(0, len(ref_idx), c_block):
+                        chunk = ref_idx[start : start + c_block]
+                        refs_enc = encode_batch(
+                            [ref_seqs[i] for i in chunk], n_pad, REF_PAD
+                        )
+                        total_cells += sum(
+                            len(reads[i]) for i in read_idx
+                        ) * sum(len(ref_seqs[i]) for i in chunk)
+                        pending.append(
+                            (chunk, self._col_sums_dev(reads_enc, refs_enc))
+                        )
+        return pending, total_cells
+
+    # -- packed wavefront path ---------------------------------------------
+
+    def _pack_chunks(self, reads: Sequence[str], r_limit: int) -> List[dict]:
+        """Bin reads into packed kernel rows (``ops/packing``), split
+        into chunks whose total base pairs respect the int32 bound."""
+        from sparksmithwaterman_tpu.ops.packing import pack_reads
+        from sparksmithwaterman_tpu.ops.pallas_score import diag_read_block
+
+        max_len = max((len(r) for r in reads), default=1)
+        m_pack = max(2 * self.read_bucket, _quantize_15(max(1, max_len), 128))
+        packs: List[dict] = []
+        chunk_idx: List[int] = []
+        chunk_bp = 0
+        budget = max(m_pack, r_limit)  # sum of lens per dispatch
+
+        def close():
+            nonlocal chunk_idx, chunk_bp
+            if not chunk_idx:
+                return
+            packed, start_idx = pack_reads(
+                [reads[i] for i in chunk_idx], m_pack
+            )
+            rows = packed.shape[0]
+            rb = diag_read_block(rows, m_pack)
+            while rows % rb:
+                rb -= 8
+            packs.append(
+                dict(
+                    m_pack=m_pack,
+                    packed=packed,
+                    start_idx=start_idx,
+                    read_idx=list(chunk_idx),
+                    read_bp=sum(len(reads[i]) for i in chunk_idx),
+                    read_block=max(8, rb),
+                )
+            )
+            chunk_idx = []
+            chunk_bp = 0
+
+        for i in range(len(reads)):
+            if chunk_idx and chunk_bp + max(1, len(reads[i])) > budget:
+                close()
+            chunk_idx.append(i)
+            chunk_bp += max(1, len(reads[i]))
+        close()
+        return packs
+
+    def _packed_col_sums(self, pack: dict, refs_enc: np.ndarray):
+        """(C_pad,) per-ref column sums for one packed read chunk."""
+        from sparksmithwaterman_tpu.ops.packing import packed_col_sums
+        from sparksmithwaterman_tpu.ops.pallas_score import (
+            pallas_lane_best_packed,
+        )
+
+        refs_enc = _pad_rows(
+            refs_enc, _quantize_15(refs_enc.shape[0], 8), REF_PAD
+        )
+        lane = pallas_lane_best_packed(
+            pack["packed"], refs_enc, *self._params_static,
+            read_block=pack["read_block"],
+        )
+        return packed_col_sums(lane, pack["start_idx"])
 
     # -- traceback path ----------------------------------------------------
 

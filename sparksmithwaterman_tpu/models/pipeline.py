@@ -109,14 +109,17 @@ def run_pipeline(config: AlignConfig, backend=None, resume: bool = False) -> Lis
             nonlocal global_max, winners, pending, pending_bp
             if not pending:
                 return
-            totals = backend.totals(reads, [seq for _, seq in pending])
-            for (metadata, seq), total in zip(pending, totals):
-                total = int(total)
-                if total > global_max:
-                    global_max = total
-                    winners = [(metadata, seq)]
-                elif total == global_max:
-                    winners.append((metadata, seq))
+            # Device-side winner reduction: only (best, tie indices)
+            # cross to the host — O(shards), not O(C), per dispatch
+            # (the intent of Distribution.java:341-353 without its
+            # collect-everything driver merge).  Tie indices ascend, so
+            # encounter-order append semantics are preserved.
+            best, ties = backend.best_of(reads, [seq for _, seq in pending])
+            if best > global_max:
+                global_max = best
+                winners = [pending[i] for i in ties]
+            elif best == global_max:
+                winners.extend(pending[i] for i in ties)
             pending = []
             pending_bp = 0
 

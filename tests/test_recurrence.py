@@ -140,3 +140,79 @@ def test_totals_int32_overflow_guard():
     be = BatchBackend(cfg)
     totals = be.totals(reads, [ref])
     assert totals[0] == 64 * 64 * (1 << 21)  # 2^33, exact in int64
+
+
+def test_best_of_matches_totals(make_seq):
+    """Device-side winner reduction == host totals max/ties, including
+    cross-dispatch accumulation (multiple read-length groups -> several
+    partial cols per ref)."""
+    from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+    rng = np.random.default_rng(11)
+    reads = [make_seq(int(l)) for l in rng.integers(1, 40, 17)]
+    refs = [make_seq(int(l)) for l in rng.integers(10, 80, 9)]
+    cfg = AlignConfig(
+        ref_dir=".", in_dir=".", out_dir=".", read_bucket=16, ref_bucket=32
+    )
+    be = BatchBackend(cfg)
+    totals = be.totals(reads, refs)
+    refs.append(refs[int(totals.argmax())])  # plant a genuine tie
+    totals = be.totals(reads, refs)
+    best, ties = be.best_of(reads, refs)
+    assert best == int(totals.max())
+    assert ties == [int(i) for i in np.flatnonzero(totals == totals.max())]
+    assert len(ties) >= 2  # the planted tie survived
+
+
+def test_best_of_int32_carry():
+    """Per-ref accumulation past 2^32 must carry correctly in the
+    (uint32, int32) pair (x64 is disabled on device)."""
+    from sparksmithwaterman_tpu.config import ScoringScheme
+    from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+    ref = "ACGT" * 16  # 64 bp
+    reads = [ref] * 80  # 80 * 64 * 2^21 = 2^32 + 2^30 > 2^32
+    cfg = AlignConfig(
+        ref_dir=".", in_dir=".", out_dir=".",
+        scoring=ScoringScheme(match=1 << 21, mismatch=-1, gap=-1),
+        read_bucket=64, ref_bucket=64,
+    )
+    be = BatchBackend(cfg)
+    best, ties = be.best_of(reads, [ref, ref[:32]])
+    assert best == 80 * 64 * (1 << 21)
+    assert ties == [0]
+
+
+def test_packed_totals_matches_unpacked(monkeypatch, make_seq):
+    """The packed wavefront totals path == the lax reference, end to end
+    through _dispatch_cols (interpret mode stands in for TPU)."""
+    from sparksmithwaterman_tpu.models import batch_backend as bb
+    from sparksmithwaterman_tpu.ops import pallas_score as ps
+
+    real = ps.pallas_lane_best_packed
+
+    def fake(*a, **k):
+        k["interpret"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(bb, "pallas_score_grid_diag", None)  # must not be hit
+    import sparksmithwaterman_tpu.ops.packing  # noqa: F401  (import check)
+
+    rng = np.random.default_rng(13)
+    reads = [make_seq(int(l)) for l in rng.integers(1, 60, 15)] + [""]
+    refs = [make_seq(int(l)) for l in rng.integers(30, 120, 7)]
+    cfg = AlignConfig(
+        ref_dir=".", in_dir=".", out_dir=".", read_bucket=32, ref_bucket=64
+    )
+    be = bb.BatchBackend(cfg)
+    want = be.totals(reads, refs)  # lax path (CPU)
+    be2 = bb.BatchBackend(cfg)
+    be2.use_pallas = True  # force the diag+packed branch
+    monkeypatch.setattr(
+        "sparksmithwaterman_tpu.ops.pallas_score.pallas_lane_best_packed", fake
+    )
+    got = be2.totals(reads, refs)
+    np.testing.assert_array_equal(got, want)
+    best, ties = be2.best_of(reads, refs)
+    assert best == int(want.max())
+    assert ties == [int(i) for i in np.flatnonzero(want == want.max())]
