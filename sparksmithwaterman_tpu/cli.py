@@ -134,20 +134,26 @@ def enable_compile_cache() -> None:
 
 
 def _apply_platform() -> None:
-    """Honor SWTPU_PLATFORM (e.g. 'cpu', 'tpu').
+    """Honor SWTPU_PLATFORM, falling back to JAX_PLATFORMS (e.g. 'cpu').
 
-    ``jax.config.update('jax_platforms', ...)`` is used instead of the
-    JAX_PLATFORMS env var: site customization may import jax (and fix its
-    env-var read) before this process's environment is consulted, while
-    the config update takes effect at lazy backend initialization.
+    ``jax.config.update('jax_platforms', ...)`` is applied on top of the
+    env var: site customization may import jax (and fix its env-var
+    read, possibly to a different platform) before this process's
+    environment is consulted, while the config update takes effect at
+    lazy backend initialization.
     """
     import os
 
-    platform = os.environ.get("SWTPU_PLATFORM")
+    platform = os.environ.get("SWTPU_PLATFORM") or os.environ.get(
+        "JAX_PLATFORMS"
+    )
     if platform:
         import jax
 
-        jax.config.update("jax_platforms", platform)
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass  # backend already initialized; use whatever is live
 
 
 def main(argv=None) -> int:

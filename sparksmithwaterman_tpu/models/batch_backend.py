@@ -382,6 +382,11 @@ class BatchBackend:
                 [reads[i] for i in chunk_idx], m_pack
             )
             rows = packed.shape[0]
+            # Upload once; every ref-group dispatch reuses the device
+            # array (a fresh numpy arg would re-upload per dispatch —
+            # ~7.5ms of host blocking each through the remote tunnel).
+            packed = jax.device_put(packed)
+            start_idx = jax.device_put(start_idx)
             rb = diag_read_block(rows, m_pack)
             while rows % rb:
                 rb -= 8
@@ -413,8 +418,13 @@ class BatchBackend:
             pallas_lane_best_packed,
         )
 
+        # C pads to ceil-8 (not the 1.5 ladder): big flushes dispatch
+        # fixed c_block chunks anyway (compile-stable), and ladder
+        # padding on the LAST chunk costs real window+kernel work
+        # (33 refs -> 48 = +45%); the compile cache absorbs the
+        # residual shape variety.
         refs_enc = _pad_rows(
-            refs_enc, _quantize_15(refs_enc.shape[0], 8), REF_PAD
+            refs_enc, -(-refs_enc.shape[0] // 8) * 8, REF_PAD
         )
         lane = pallas_lane_best_packed(
             pack["packed"], refs_enc, *self._params_static,

@@ -37,7 +37,7 @@ def pack_reads(
       packed: (ROWS, m_pack) int32 — ASCII codes with ``_START_BIT`` on
         each read's first lane (and on the first trailing-pad lane, so
         trailing lanes form their own all-pad segment scoring exactly 0).
-      start_idx: (len(reads),) int64 — FLAT lane index (row * m_pack +
+      start_idx: (len(reads),) int32 — FLAT lane index (row * m_pack +
         lane) of each read's first lane.  The packed kernels finish with
         a segmented suffix max, so the per-read score sits exactly at
         these indices (``read_best``).
@@ -65,7 +65,7 @@ def pack_reads(
             space.append(m_pack - lens[i])
     n_rows = -(-max(1, len(rows)) // row_multiple) * row_multiple
     packed = np.full((n_rows, m_pack), READ_PAD, np.int32)
-    start_idx = np.zeros(n_reads, np.int64)
+    start_idx = np.zeros(n_reads, np.int32)
     packed[:, 0] |= _START_BIT  # all-pad rows: one harmless segment
     for r, members in enumerate(rows):
         o = 0

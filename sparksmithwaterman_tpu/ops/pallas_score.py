@@ -538,13 +538,16 @@ def _segmented_suffix_max(x, startm):
     epilogues measured as the packed path's dominant non-kernel cost).
     """
     m = x.shape[-1]
-    blocked = _shift_left_fill(startm, 1, True)  # b_1[i] = start[i+1]
+    # The blocked mask is carried as int32, not i1: Mosaic cannot rotate
+    # non-32-bit vectors ("tpu.dynamic_rotate ... vector<...xi1>").
+    one = jnp.asarray(1, jnp.int32)
+    blocked = _shift_left_fill(startm.astype(jnp.int32), 1, one)
     shift = 1
     while shift < m:
         cand = _shift_left_fill(x, shift, jnp.asarray(0, x.dtype))
-        x = jnp.where(blocked, x, jnp.maximum(x, cand))
+        x = jnp.where(blocked > 0, x, jnp.maximum(x, cand))
         if 2 * shift < m:
-            blocked = blocked | _shift_left_fill(blocked, shift, True)
+            blocked = blocked | _shift_left_fill(blocked, shift, one)
         shift *= 2
     return x
 
@@ -681,8 +684,11 @@ def pallas_lane_best_packed(
       packed: (ROWS, M) int32 — base codes | _START_BIT at segment
         starts (``ops.packing.pack_reads``); ROWS % read_block == 0.
       refs: (C, N) uint8/int32.
-      mode: 'whole' | 'chunked' | 'auto' (auto prefers the whole-table
-        form while its VMEM plan sustains unroll >= 32, else streams).
+      mode: 'whole' | 'chunked' | 'auto' (auto uses the whole-table form
+        whenever its VMEM plan fits: measured on v5e it beats the
+        streamed form at EVERY e2e shape, even at unroll=8 vs the
+        chunked kernel's unroll=32 — 238 vs 196 padded GCUPS at
+        m=256/n=4096).
     """
     rows, m = packed.shape
     c, n = refs.shape
@@ -695,7 +701,7 @@ def pallas_lane_best_packed(
     plan = plan_diag(read_block, m, n) if mode in ("auto", "whole") else None
     if mode == "whole" and plan is None:
         raise ValueError("whole-table packed kernel cannot fit VMEM")
-    if plan is not None and (mode == "whole" or plan[0] >= 32):
+    if plan is not None:
         unroll, t_pad = plan
         windows = _diag_windows(jnp.asarray(refs).astype(jnp.int32), m, t_pad)
         return _lane_best_call(
