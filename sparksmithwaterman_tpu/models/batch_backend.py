@@ -361,11 +361,25 @@ class BatchBackend:
 
     # -- packed wavefront path ---------------------------------------------
 
+    # Packed rows must divide evenly into per-device shards on the
+    # sharded backend; 8 is the Pallas grid divisor on one device.
+    _pack_row_multiple = 8
+
+    @staticmethod
+    def _pack_read_block(rows: int, m_pack: int) -> int:
+        """Largest read_block (multiple of 8) dividing ``rows`` within
+        the rb*m VMEM heuristic."""
+        from sparksmithwaterman_tpu.ops.pallas_score import diag_read_block
+
+        rb = diag_read_block(rows, m_pack)
+        while rows % rb:
+            rb -= 8
+        return max(8, rb)
+
     def _pack_chunks(self, reads: Sequence[str], r_limit: int) -> List[dict]:
         """Bin reads into packed kernel rows (``ops/packing``), split
         into chunks whose total base pairs respect the int32 bound."""
         from sparksmithwaterman_tpu.ops.packing import pack_reads
-        from sparksmithwaterman_tpu.ops.pallas_score import diag_read_block
 
         max_len = max((len(r) for r in reads), default=1)
         m_pack = max(2 * self.read_bucket, _quantize_15(max(1, max_len), 128))
@@ -379,25 +393,20 @@ class BatchBackend:
             if not chunk_idx:
                 return
             packed, start_idx = pack_reads(
-                [reads[i] for i in chunk_idx], m_pack
+                [reads[i] for i in chunk_idx], m_pack,
+                row_multiple=self._pack_row_multiple,
             )
-            rows = packed.shape[0]
             # Upload once; every ref-group dispatch reuses the device
             # array (a fresh numpy arg would re-upload per dispatch —
             # ~7.5ms of host blocking each through the remote tunnel).
-            packed = jax.device_put(packed)
-            start_idx = jax.device_put(start_idx)
-            rb = diag_read_block(rows, m_pack)
-            while rows % rb:
-                rb -= 8
             packs.append(
                 dict(
                     m_pack=m_pack,
-                    packed=packed,
-                    start_idx=start_idx,
+                    rows=packed.shape[0],
+                    packed=jax.device_put(packed),
+                    start_idx=jax.device_put(start_idx),
                     read_idx=list(chunk_idx),
                     read_bp=sum(len(reads[i]) for i in chunk_idx),
-                    read_block=max(8, rb),
                 )
             )
             chunk_idx = []
@@ -428,7 +437,7 @@ class BatchBackend:
         )
         lane = pallas_lane_best_packed(
             pack["packed"], refs_enc, *self._params_static,
-            read_block=pack["read_block"],
+            read_block=self._pack_read_block(pack["rows"], pack["m_pack"]),
         )
         return packed_col_sums(lane, pack["start_idx"])
 

@@ -662,6 +662,133 @@ def _chunked_kernel_packed(
         out_ref[0, :, :] = _segmented_suffix_max(best, startm)
 
 
+def _stream_kernel_packed(
+    reads_ref, win_hbm, out_ref, *, match, mismatch, gap, stream_chunk,
+    unroll, num_blocks,
+):
+    """Packed wavefront with the window STREAMED from HBM by explicit
+    double-buffered DMA (pallas_guide.md: Patterns/Double Buffering).
+
+    The whole-table form triple-buffers the entire (T, M) window in
+    VMEM, which at m=256 squeezes the diagonal unroll to 8-24 for long
+    refs (measured 238-250 padded GCUPS); streaming keeps only
+    2 x (stream_chunk, M) resident (~1MB), freeing the state budget for
+    unroll=64 at any reference length.
+
+    win_hbm: (C, T, M) int32, memory_space=ANY (stays in HBM); this
+    program DMAs blocks of ``stream_chunk`` diagonals for ref
+    ``program_id(0)``.
+    """
+    rb, m = reads_ref.shape
+    dt = jnp.int32
+    ci = pl.program_id(0)
+    raw = reads_ref[:]
+    reads_block = raw & (_START_BIT - 1)
+    startm = raw >= _START_BIT
+    step = _make_step(reads_block, startm, match, mismatch, gap, dt)
+
+    def body(scratch, sem):
+        def get_dma(slot, blk):
+            return pltpu.make_async_copy(
+                win_hbm.at[ci, pl.ds(blk * stream_chunk, stream_chunk), :],
+                scratch.at[slot],
+                sem.at[slot],
+            )
+
+        get_dma(0, 0).start()
+
+        def blk_loop(blk, carry):
+            slot = jax.lax.rem(blk, 2)
+
+            @pl.when(blk + 1 < num_blocks)
+            def _():
+                get_dma(jax.lax.rem(blk + 1, 2), blk + 1).start()
+
+            get_dma(slot, blk).wait()
+            win_blk = scratch.at[slot]
+
+            def inner(t, carry):
+                d1, r1, r2, best = carry
+                base = unroll * t
+                bm = None
+                prev = None
+                for k in range(unroll):
+                    c1, rc = step(
+                        d1, r1, r2, win_blk[pl.ds(base + k, 1), :]
+                    )
+                    if prev is None:
+                        prev = c1
+                    else:
+                        pair = jnp.maximum(prev, c1)
+                        bm = pair if bm is None else jnp.maximum(bm, pair)
+                        prev = None
+                    d1, r2, r1 = c1, r1, rc
+                if prev is not None:
+                    bm = prev if bm is None else jnp.maximum(bm, prev)
+                return d1, r1, r2, jnp.maximum(best, bm)
+
+            return jax.lax.fori_loop(
+                0, stream_chunk // unroll, inner, carry
+            )
+
+        zeros = jnp.zeros((rb, m), dt)
+        _, _, _, best = jax.lax.fori_loop(
+            0, num_blocks, blk_loop, (zeros, zeros, zeros, zeros)
+        )
+        out_ref[0, :, :] = _segmented_suffix_max(best, startm)
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((2, stream_chunk, m), jnp.int32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "stream_chunk", "unroll",
+        "num_blocks", "interpret",
+    ),
+)
+def _lane_best_stream_call(
+    packed, windows, *, match, mismatch, gap, read_block, stream_chunk,
+    unroll, num_blocks, interpret,
+):
+    rows, m = packed.shape
+    c, t_pad, _ = windows.shape
+    n = t_pad - m + 1
+    grid = (c, rows // read_block)
+    kernel = functools.partial(
+        _stream_kernel_packed,
+        match=match, mismatch=mismatch, gap=gap,
+        stream_chunk=stream_chunk, unroll=unroll, num_blocks=num_blocks,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, rows, m), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (read_block, m), lambda ci, ri: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # window stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, read_block, m), lambda ci, ri: (ci, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * m * c * n,
+            bytes_accessed=4 * (rows * m + c * t_pad * m + c * rows * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed, windows)
+    return out  # (C, ROWS, M)
+
+
 def pallas_lane_best_packed(
     packed,
     refs,
@@ -698,6 +825,34 @@ def pallas_lane_best_packed(
         )
     match, mismatch, gap = int(match), int(mismatch), int(gap)
     diags = m + n - 1
+    if mode == "stream":
+        # Manual double-buffered DMA (~1MB window VMEM at any ref
+        # length, unroll budget governed by state alone).  Measured on
+        # v5e this LOSES to the Mosaic-pipelined whole-table form at
+        # every e2e shape (172-196 vs 231-240 padded GCUPS; 8 GCUPS on
+        # small grids — per-program DMA-wait overhead is not hidden),
+        # so 'auto' never selects it; kept as an explicit mode for
+        # other topologies and as the measured record.
+        stream_chunk = 512
+        unroll = _auto_unroll(
+            64, read_block, m, 0,
+            extra_regs=2 * stream_chunk // max(1, read_block),
+        )
+        while unroll > 2 and stream_chunk % unroll != 0:
+            unroll -= 2
+        if unroll < 2:
+            raise ValueError("streamed packed kernel cannot fit VMEM")
+        num_blocks = -(-diags // stream_chunk)
+        windows = _diag_windows(
+            jnp.asarray(refs).astype(jnp.int32), m,
+            num_blocks * stream_chunk,
+        )
+        return _lane_best_stream_call(
+            jnp.asarray(packed, jnp.int32), windows,
+            match=match, mismatch=mismatch, gap=gap,
+            read_block=read_block, stream_chunk=stream_chunk,
+            unroll=unroll, num_blocks=num_blocks, interpret=interpret,
+        )
     plan = plan_diag(read_block, m, n) if mode in ("auto", "whole") else None
     if mode == "whole" and plan is None:
         raise ValueError("whole-table packed kernel cannot fit VMEM")

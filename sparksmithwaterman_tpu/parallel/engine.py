@@ -294,6 +294,75 @@ def sharded_totals(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "reads_axis", "refs_axis", "kernel_params", "plan",
+        "interpret",
+    ),
+)
+def _sharded_packed_call(
+    packed,
+    windows,
+    start_idx,
+    *,
+    mesh: Mesh,
+    reads_axis,
+    refs_axis,
+    kernel_params,
+    plan,
+    interpret,
+):
+    """shard_map'd PACKED dispatch: packed read rows shard over
+    ``reads_axis``, window tables over ``refs_axis``; each device runs
+    the packed wavefront kernel on its block, gathers ITS rows' read
+    scores from the in-kernel segmented suffix max, sums them, and the
+    row-shard partial totals meet in a psum.  Output: (C,) totals
+    sharded over ``refs_axis``.
+    """
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        _lane_best_call,
+        _lane_best_chunked_call,
+    )
+
+    km, kmm, kg, rb = kernel_params
+    p = dict(plan)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(reads_axis, None), P(refs_axis, None, None), P()),
+        out_specs=P(refs_axis),
+        check_vma=False,
+    )
+    def block(packed_blk, windows_blk, idx):
+        if p["mode"] == "whole":
+            lane = _lane_best_call(
+                packed_blk, windows_blk,
+                match=km, mismatch=kmm, gap=kg, read_block=rb,
+                diags=p["diags"], unroll=p["unroll"], interpret=interpret,
+            )
+        else:
+            lane = _lane_best_chunked_call(
+                packed_blk, windows_blk,
+                match=km, mismatch=kmm, gap=kg, read_block=rb,
+                chunk=p["chunk"], unroll=p["unroll"],
+                num_chunks=p["num_chunks"], interpret=interpret,
+            )
+        rows_blk, m = packed_blk.shape
+        # This shard's slice of the global flat lane index space.
+        lo = jax.lax.axis_index(reads_axis) * rows_blk * m
+        rel = idx - lo
+        ok = (rel >= 0) & (rel < rows_blk * m)
+        relc = jnp.clip(rel, 0, rows_blk * m - 1)
+        flat = lane.reshape(lane.shape[0], -1)  # (C/dc, rows_blk*m)
+        vals = jnp.where(ok[None, :], jnp.take(flat, relc, axis=1), 0)
+        local = vals.sum(axis=1, dtype=jnp.int32)  # (C/dc,)
+        return jax.lax.psum(local, reads_axis)
+
+    return block(packed, windows, start_idx)
+
+
+@functools.partial(
     jax.jit, static_argnames=("mesh", "reads_axis", "refs_axis")
 )
 def _sharded_totals_lax_call(
@@ -336,6 +405,9 @@ class ShardedBackend(BatchBackend):
         self.mesh = mesh
         self._dr = mesh.shape["reads"]
         self._dc = mesh.shape["refs"]
+        # Packed rows must shard evenly over the reads axis with every
+        # shard's row count a multiple of 8 (Pallas grid divisor).
+        self._pack_row_multiple = 8 * self._dr
 
     def _shard_pad(self, reads_enc: np.ndarray, refs_enc: np.ndarray):
         """Pad both batch axes to mesh-divisible quantized row counts.
@@ -388,4 +460,42 @@ class ShardedBackend(BatchBackend):
             *self._params,
             mesh=self.mesh,
             kernel_params=kernel_params,
+        )
+
+    def _packed_col_sums(self, pack: dict, refs_enc: np.ndarray):
+        """Sharded packed dispatch (the single-device override would
+        silently compute off-mesh — the exact round-1 defect class).
+
+        Packed rows shard over the reads axis, the (sharded-built)
+        window tables over the refs axis; per-row-shard partial totals
+        psum inside ``_sharded_packed_call``.  On non-TPU backends the
+        packed path is never taken (use_pallas gates it), so the lax
+        sharded path keeps CPU-mesh coverage.
+        """
+        from sparksmithwaterman_tpu.models.batch_backend import _pad_rows
+
+        m_pack = pack["m_pack"]
+        shard_rows = pack["rows"] // self._dr
+        rb = self._pack_read_block(shard_rows, m_pack)
+        c_pad = -(-refs_enc.shape[0] // (8 * self._dc)) * (8 * self._dc)
+        refs_p = _pad_rows(refs_enc, c_pad, REF_PAD)
+        n_pad = refs_p.shape[1]
+        plan = _kernel_plan(rb, m_pack, n_pad)
+        packed_sharded = jax.device_put(
+            pack["packed"],
+            jax.sharding.NamedSharding(self.mesh, P("reads", None)),
+        )
+        windows = _sharded_windows(
+            refs_p, self.mesh, "refs", m_pack, plan["t_pad"]
+        )
+        return _sharded_packed_call(
+            packed_sharded,
+            windows,
+            jnp.asarray(pack["start_idx"]),
+            mesh=self.mesh,
+            reads_axis="reads",
+            refs_axis="refs",
+            kernel_params=self._params_static + (rb,),
+            plan=tuple(sorted(plan.items())),
+            interpret=False,
         )

@@ -226,7 +226,7 @@ def test_diag_kernel_wide_reads_matches_lax(make_seq):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("mode", ["whole", "chunked"])
+@pytest.mark.parametrize("mode", ["whole", "chunked", "stream"])
 def test_packed_kernel_matches_lax(make_seq, mode):
     """Packed rows (several reads per row, _START_BIT boundaries) score
     every read identically to the unpacked reference recurrence."""

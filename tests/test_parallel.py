@@ -156,3 +156,75 @@ def test_sharded_kernel_chunked_mode_interpret(make_seq, monkeypatch):
     )
     want = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_packed_call_interpret(make_seq):
+    """The sharded PACKED dispatch (rows sharded over reads, windows
+    over refs, per-shard gather + psum) is score-exact vs the lax grid."""
+    from sparksmithwaterman_tpu.ops.packing import pack_reads
+    from sparksmithwaterman_tpu.parallel.engine import (
+        _kernel_plan,
+        _sharded_packed_call,
+        _sharded_windows,
+    )
+
+    mesh = build_mesh((2, 4))  # (refs, reads)
+    rng = np.random.default_rng(21)
+    reads = [make_seq(int(l)) for l in rng.integers(1, 30, 37)]
+    refs = [make_seq(int(l)) for l in rng.integers(20, 90, 8)]
+    m_pack = 32
+    packed, start_idx = pack_reads(reads, m_pack, row_multiple=8 * 4)
+    rows = packed.shape[0]
+    rb = 8
+    refs_enc = encode_batch(refs, 96, REF_PAD)
+    plan = _kernel_plan(rb, m_pack, 96)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    packed_sh = jax.device_put(
+        jnp.asarray(packed), NamedSharding(mesh, P("reads", None))
+    )
+    windows = _sharded_windows(refs_enc, mesh, "refs", m_pack, plan["t_pad"])
+    got = np.asarray(
+        _sharded_packed_call(
+            packed_sh, windows, jnp.asarray(start_idx),
+            mesh=mesh, reads_axis="reads", refs_axis="refs",
+            kernel_params=(5, -3, -4, rb),
+            plan=tuple(sorted(plan.items())),
+            interpret=True,
+        )
+    )
+    reads_enc = encode_batch(reads, m_pack, READ_PAD)
+    want = np.asarray(score_grid(reads_enc, refs_enc, *PARAMS)).sum(axis=0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_backend_packed_routes_to_mesh(make_seq, monkeypatch, tmp_path):
+    """With packing forced on, ShardedBackend must dispatch through
+    _sharded_packed_call (NOT the single-device packed path)."""
+    from sparksmithwaterman_tpu.parallel import engine
+
+    calls = {"n": 0}
+    real = engine._sharded_packed_call
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        k["interpret"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(engine, "_sharded_packed_call", spy)
+    config = AlignConfig(
+        ref_dir=str(tmp_path), in_dir=str(tmp_path), out_dir=str(tmp_path),
+        strategy="shard_refs", read_bucket=16, ref_bucket=32,
+    )
+    be = engine.ShardedBackend(config)
+    be.use_pallas = True  # force the packed diag branch off-TPU
+    rng = np.random.default_rng(22)
+    reads = [make_seq(int(l)) for l in rng.integers(1, 20, 13)]
+    refs = [make_seq(int(l)) for l in rng.integers(10, 50, 5)]
+    got = be.totals(reads, refs)
+    from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+    want = BatchBackend(config).totals(reads, refs)
+    np.testing.assert_array_equal(got, want)
+    assert calls["n"] > 0
