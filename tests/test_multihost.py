@@ -199,7 +199,18 @@ def test_real_two_process_distributed(tmp_path):
         f"    out_dir={str(tmp_path / 'out2p')!r}, strategy='serial')\n"
         "run_multihost_pipeline(cfg, host)\n"
     )
-    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    import os
+    import pathlib
+
+    import sparksmithwaterman_tpu
+
+    repo_root = str(pathlib.Path(sparksmithwaterman_tpu.__file__).parents[1])
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # The package may be importable only via the test process's sys.path
+    # (repo checkout, not installed) — propagate it to the subprocesses.
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
     env.pop("XLA_FLAGS", None)  # one device per process
     procs = [
         subprocess.Popen(
