@@ -17,8 +17,14 @@ Prints ONE JSON line:
 - ``kernel_pct_vpu_sol`` tracks the kernel against the v5e VPU
   speed-of-light (~10 vector ops per DP cell against ~4e12 int ops/s).
 
-``--check`` exits nonzero if any TPU rate regresses below the committed
-thresholds (the perf gate of VERDICT r1 task 10).
+Robustness (VERDICT r2 task 1): every rate is measured over REPEATS
+independent passes and the JSON carries median + min/max spread plus an
+unconditional ``thresholds`` pass/fail status — a degraded environment
+(the r02 driver capture ran 4x below the committed floor with
+``padding_waste`` < 1, which is physically impossible for a healthy
+run) is now distinguishable from a code regression by the spread and
+the ``env_suspect`` flag.  ``--check`` additionally exits nonzero on a
+threshold failure (the perf gate of VERDICT r1 task 10).
 """
 
 from __future__ import annotations
@@ -36,6 +42,12 @@ THRESHOLDS = {
     "kernel_gcups": 330.0,
     "e2e_gcups": 200.0,
 }
+
+# Independent measurement passes per metric (each pass itself averages
+# or bests several device iterations); the JSON reports the MEDIAN with
+# min/max spread so a one-off environment stall cannot masquerade as a
+# regression (BENCH_r02 post-mortem).
+REPEATS = 3
 
 _BASES = np.array(list("ACGT"))
 
@@ -128,14 +140,29 @@ def _oracle_rate(reads, refs, params):
     return cells / dt, scores
 
 
+def _repeat(fn, repeats=REPEATS):
+    """Run ``fn`` ``repeats`` times; return (median_rate, rates, payload).
+
+    The payload returned is the one from the median-rate pass."""
+    results = [fn() for _ in range(repeats)]
+    rates = sorted(r for r, _ in results)
+    median = rates[len(rates) // 2]
+    payload = next(p for r, p in results if r == median)
+    return median, rates, payload
+
+
 def main(argv):
     from sparksmithwaterman_tpu.cli import enable_compile_cache
 
     enable_compile_cache()
     params = (np.int32(5), np.int32(-3), np.int32(-4))
 
-    kernel_gcups, (kreads, krefs, kgrid) = bench_kernel(params)
-    e2e_gcups, (ereads, erefs, etotals) = bench_e2e(params)
+    kernel_gcups, kernel_rates, (kreads, krefs, kgrid) = _repeat(
+        lambda: bench_kernel(params)
+    )
+    e2e_gcups, e2e_rates, (ereads, erefs, etotals) = _repeat(
+        lambda: bench_e2e(params)
+    )
 
     # Parity spot-check against the serial oracle (the reference's
     # control semantics): 2x2 of the kernel grid + 2 e2e totals.
@@ -152,6 +179,15 @@ def main(argv):
                 f"PARITY FAIL e2e totals[{ci}]: {int(etotals[ci])} != {w}"
             )
 
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    measured = {"kernel_gcups": kernel_gcups, "e2e_gcups": e2e_gcups}
+    bad = {
+        k: (round(measured[k], 1), floor)
+        for k, floor in THRESHOLDS.items()
+        if measured[k] < floor
+    }
     result = {
         "metric": "e2e_real_cell_rate",
         "value": round(e2e_gcups, 1),
@@ -163,21 +199,32 @@ def main(argv):
         # remaining e2e gap is padding + dispatch, tracked by value).
         "kernel_pct_vpu_sol": round(kernel_gcups * 10 / 4000 * 100, 1),
         "padding_waste": round(kernel_gcups / max(e2e_gcups, 1e-9), 2),
+        # Robustness telemetry (min..max over REPEATS passes) and the
+        # unconditional gate verdict — "fail" on TPU means either a code
+        # regression or a degraded environment; env_suspect separates
+        # them: wide spread (>25%) or an impossible kernel<e2e ordering
+        # points at the environment, not the code.
+        "kernel_spread": [round(r, 1) for r in kernel_rates],
+        "e2e_spread": [round(r, 1) for r in e2e_rates],
+        "thresholds": (
+            ("pass" if not bad else "fail") if on_tpu else "skipped:not-tpu"
+        ),
+        "threshold_detail": bad or None,
+        "env_suspect": bool(
+            on_tpu
+            and (
+                min(kernel_rates) < 0.75 * max(kernel_rates)
+                or min(e2e_rates) < 0.75 * max(e2e_rates)
+                or kernel_gcups < e2e_gcups
+            )
+        ),
     }
     print(json.dumps(result))
 
     if "--check" in argv:
-        import jax
-
-        if jax.default_backend() != "tpu":
+        if not on_tpu:
             print("check skipped: not on TPU", file=sys.stderr)
             return 0
-        measured = {"kernel_gcups": kernel_gcups, "e2e_gcups": e2e_gcups}
-        bad = {
-            k: (measured[k], floor)
-            for k, floor in THRESHOLDS.items()
-            if measured[k] < floor
-        }
         if bad:
             print(f"PERF REGRESSION: {bad}", file=sys.stderr)
             return 1

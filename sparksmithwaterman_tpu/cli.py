@@ -33,6 +33,16 @@ def _add_align(sub):
         choices=["serial", "batch", "wavefront", "shard_refs", "shard_reads", "shard_seq"],
     )
     p.add_argument(
+        "--tie-semantics",
+        default="serial",
+        choices=["serial", "distributed"],
+        help="tied-path direction engine: 'serial' = "
+        "SmithWaterman.GetCellScore (ties a>i>d, the NoDistribution/"
+        "DistributeReference engine), 'distributed' = "
+        "DistributedSW.GetCellScore (strict '>', ties d>i>a — "
+        "reproduces DistributeAlgorithm's alignment strings)",
+    )
+    p.add_argument(
         "--resume",
         action="store_true",
         help="skip input files already completed per the out-dir journal",
@@ -86,6 +96,28 @@ def _add_bench(sub):
         default=["read_num", "read_len", "ref_num", "ref_len"],
         choices=["read_num", "read_len", "ref_num", "ref_len"],
     )
+
+
+def _add_diff(sub):
+    p = sub.add_parser(
+        "diff",
+        help="run two strategies on the same data and diff the reports "
+        "(the reference's control-output workflow, "
+        "src/sw/Distribution.java:48-50, as a first-class tool)",
+    )
+    p.add_argument("--ref-dir", required=True)
+    p.add_argument("--in-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--delimiter", default=">gi")
+    p.add_argument("--match", type=int, default=5)
+    p.add_argument("--mismatch", type=int, default=-3)
+    p.add_argument("--gap", type=int, default=-4)
+    p.add_argument(
+        "--tie-semantics", default="serial", choices=["serial", "distributed"]
+    )
+    strategies = ["serial", "batch", "wavefront", "shard_refs", "shard_reads", "shard_seq"]
+    p.add_argument("--strategy-a", default="serial", choices=strategies)
+    p.add_argument("--strategy-b", default="batch", choices=strategies)
 
 
 def _add_scaling(sub):
@@ -168,6 +200,7 @@ def main(argv=None) -> int:
     _add_info(sub)
     _add_gen(sub)
     _add_bench(sub)
+    _add_diff(sub)
     _add_scaling(sub)
     args = parser.parse_args(argv)
 
@@ -183,7 +216,10 @@ def main(argv=None) -> int:
             out_ext=args.out_ext,
             delimiter=args.delimiter,
             scoring=ScoringScheme(
-                match=args.match, mismatch=args.mismatch, gap=args.gap
+                match=args.match,
+                mismatch=args.mismatch,
+                gap=args.gap,
+                tie_semantics=args.tie_semantics,
             ),
             strategy=args.strategy,
         )
@@ -228,6 +264,37 @@ def main(argv=None) -> int:
         )
         print(json.dumps(results, indent=1))
         return 0
+
+    if args.command == "diff":
+        from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
+        from sparksmithwaterman_tpu.metrics.diff import diff_strategies
+
+        config = AlignConfig(
+            ref_dir=args.ref_dir,
+            in_dir=args.in_dir,
+            out_dir=args.out_dir,  # replaced per strategy inside
+            delimiter=args.delimiter,
+            scoring=ScoringScheme(
+                match=args.match,
+                mismatch=args.mismatch,
+                gap=args.gap,
+                tie_semantics=args.tie_semantics,
+            ),
+        )
+        all_equal, rows = diff_strategies(
+            config, args.strategy_a, args.strategy_b, args.out_dir
+        )
+        for row in rows:
+            status = "OK " if row["equal"] else "DIFF"
+            print(f"{status} {row['file']}")
+            if row["diff"]:
+                print(row["diff"], end="")
+        print(
+            f"{'identical' if all_equal else 'DIVERGED'}: "
+            f"{args.strategy_a} vs {args.strategy_b} "
+            f"({len(rows)} report(s), timing line ignored)"
+        )
+        return 0 if all_equal else 1
 
     if args.command == "scaling":
         import json

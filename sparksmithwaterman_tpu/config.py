@@ -30,12 +30,29 @@ class ScoringScheme:
     # alignment-type characters: (alignment, insertion, deletion, none)
     types: Tuple[str, str, str, str] = ("a", "i", "d", "-")
     gap_char: str = "_"  # reference src/sw/SmithWaterman.java:356
+    # Which of the reference's TWO cell-score engines to mirror on tied
+    # paths (scores are identical either way; only alignment STRINGS
+    # differ).  "serial" = SmithWaterman.GetCellScore ('>=', ties
+    # a > i > d — SmithWaterman.java:217-252), the engine behind
+    # NoDistribution and DistributeReference.  "distributed" =
+    # DistributedSW.GetCellScore (strict '>', ties d > i > a —
+    # DistributedSW.java:305-330), the engine behind DistributeAlgorithm.
+    # Default "serial" for EVERY strategy: unlike the reference, output
+    # never silently depends on the strategy; pass
+    # ``--tie-semantics distributed`` to reproduce DistributeAlgorithm's
+    # strings byte-for-byte.
+    tie_semantics: str = "serial"
 
     def __post_init__(self):
         if self.match <= 0:
             raise ValueError("match score must be positive")
         if self.gap >= 0 or self.mismatch >= 0:
             raise ValueError("gap and mismatch scores must be negative")
+        if self.tie_semantics not in ("serial", "distributed"):
+            raise ValueError(
+                f"tie_semantics must be 'serial' or 'distributed', "
+                f"got {self.tie_semantics!r}"
+            )
 
     @property
     def align_scores(self) -> Tuple[int, int, int]:

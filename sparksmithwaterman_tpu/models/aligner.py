@@ -49,7 +49,10 @@ class SerialBackend:
     def sites_for_ref(self, ref_seq: str, reads: Sequence[str]) -> List[Site]:
         sites: List[Site] = []
         for read in reads:
-            _, read_sites = oracle.opt_alignments(ref_seq, read, self.scoring)
+            _, read_sites = oracle.opt_alignments(
+                ref_seq, read, self.scoring,
+                tie_semantics=self.scoring.tie_semantics,
+            )
             sites.extend(read_sites)
         # Stable sort by beginning index == Collections.sort + MatchSiteComp
         # (Distribution.java:676-695): ties keep (read order, row-major cell

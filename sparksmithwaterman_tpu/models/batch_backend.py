@@ -156,6 +156,31 @@ class BatchBackend:
         # DP-fill performance counter (real cells = sum |read|*|ref|,
         # excluding padding — the honest GCUPS of SURVEY.md §5).
         self.gcups = GcupsCounter()
+        # Corrected unroll per kernel-shape key after a real Mosaic
+        # scoped-VMEM RESOURCE_EXHAUSTED (the VMEM model mispredicted);
+        # see _vmem_retry.  VERDICT r2 task 5.
+        self._unroll_override: Dict[tuple, int] = {}
+
+    @staticmethod
+    def _is_vmem_oom(e: Exception) -> bool:
+        s = str(e)
+        return "RESOURCE_EXHAUSTED" in s or "vmem" in s.lower()
+
+    def _vmem_retry(self, key: tuple, fn):
+        """Run ``fn(unroll)``, halving the unroll on a Mosaic scoped-VMEM
+        RESOURCE_EXHAUSTED until the kernel compiles (mispredictions of
+        the calibrated model on untested chip generations degrade to a
+        smaller unroll instead of crashing the pipeline).  The correction
+        is cached per shape key for the session."""
+        unroll = self._unroll_override.get(key, 64)
+        while True:
+            try:
+                return fn(unroll)
+            except Exception as e:  # noqa: BLE001 - filtered below
+                if not self._is_vmem_oom(e) or unroll <= 2:
+                    raise
+                unroll = max(2, unroll // 2)
+                self._unroll_override[key] = unroll
 
     def _score_grid_dev(self, reads_enc: np.ndarray, refs_enc: np.ndarray):
         """(R_pad, C_pad) score grid as a DEVICE array (not fetched).
@@ -182,11 +207,19 @@ class BatchBackend:
             # scoped VMEM (long refs, or wide reads where the
             # triple-buffered (t_pad, m) window alone blows the limit).
             if n_pad > _CHUNKED_REF_N or plan_diag(rb, m_pad, n_pad) is None:
-                return pallas_score_grid_diag_chunked(
-                    reads_enc, refs_enc, *self._params, read_block=rb,
+                return self._vmem_retry(
+                    ("chunked", rb, m_pad, n_pad),
+                    lambda u: pallas_score_grid_diag_chunked(
+                        reads_enc, refs_enc, *self._params,
+                        read_block=rb, unroll=u,
+                    ),
                 )
-            return pallas_score_grid_diag(
-                reads_enc, refs_enc, *self._params, read_block=rb,
+            return self._vmem_retry(
+                ("whole", rb, m_pad, n_pad),
+                lambda u: pallas_score_grid_diag(
+                    reads_enc, refs_enc, *self._params,
+                    read_block=rb, unroll=u,
+                ),
             )
         if self.use_pallas:
             reads_enc = _pad_rows(
@@ -435,9 +468,13 @@ class BatchBackend:
         refs_enc = _pad_rows(
             refs_enc, -(-refs_enc.shape[0] // 8) * 8, REF_PAD
         )
-        lane = pallas_lane_best_packed(
-            pack["packed"], refs_enc, *self._params_static,
-            read_block=self._pack_read_block(pack["rows"], pack["m_pack"]),
+        rb = self._pack_read_block(pack["rows"], pack["m_pack"])
+        lane = self._vmem_retry(
+            ("packed", rb, pack["m_pack"], refs_enc.shape[1]),
+            lambda u: pallas_lane_best_packed(
+                pack["packed"], refs_enc, *self._params_static,
+                read_block=rb, unroll=u,
+            ),
         )
         return packed_col_sums(lane, pack["start_idx"])
 
@@ -470,6 +507,7 @@ class BatchBackend:
                     gap_char=self.scoring.gap_char,
                     ref_bucket=self.ref_bucket,
                     max_cells=cell_lists[ridx],
+                    tie_semantics=self.scoring.tie_semantics,
                 )
             merged: List[Site] = []
             for sites in per_read:
@@ -497,6 +535,7 @@ class BatchBackend:
                     *self._params,
                     capacity=_TRACE_CAPACITY,
                     cap=path_cap(m_pad),
+                    tie_semantics=self.scoring.tie_semantics,
                 )
                 best, counts = np.asarray(best), np.asarray(counts)
                 cells, begins = np.asarray(cells), np.asarray(begins)
@@ -520,7 +559,12 @@ class BatchBackend:
                         self.scoring.gap_char,
                     )
                 if overflow:
-                    h, dirs = fill_pairs(reads_enc, refs_enc, *self._params)
+                    h, dirs = fill_pairs(
+                        reads_enc,
+                        refs_enc,
+                        *self._params,
+                        tie_semantics=self.scoring.tie_semantics,
+                    )
                     h, dirs = np.asarray(h), np.asarray(dirs)
                     for k in overflow:
                         ridx = chunk[k]

@@ -67,8 +67,20 @@ def _trace_one(dirs, cell, cap: int):
     return beg, codes
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "cap"))
-def fill_and_trace(reads, refs, match, mismatch, gap, *, capacity: int, cap: int):
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "cap", "tie_semantics")
+)
+def fill_and_trace(
+    reads,
+    refs,
+    match,
+    mismatch,
+    gap,
+    *,
+    capacity: int,
+    cap: int,
+    tie_semantics: str = "serial",
+):
     """Fill + max-cell extraction + traceback, all on device.
 
     Args:
@@ -81,7 +93,9 @@ def fill_and_trace(reads, refs, match, mismatch, gap, *, capacity: int, cap: int
       begins: (B, capacity) int32 1-based start columns
       codes:  (B, capacity, cap) int8 walk codes (end-to-start)
     """
-    h, dirs = fill_pairs(reads, refs, match, mismatch, gap)
+    h, dirs = fill_pairs(
+        reads, refs, match, mismatch, gap, tie_semantics=tie_semantics
+    )
 
     def per_pair(h_b, dirs_b):
         best = jnp.max(h_b)

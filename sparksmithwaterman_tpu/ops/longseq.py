@@ -163,6 +163,7 @@ def sites_for_pair_long(
     gap_char: str = "_",
     ref_bucket: int = 256,
     max_cells: Tuple[int, np.ndarray] | None = None,
+    tie_semantics: str = "serial",
 ) -> List[Site]:
     """All optimal sites of one (read, long-ref) pair without an O(m*n)
     traceback fill.  Output order matches the oracle (row-major max-cell
@@ -170,6 +171,9 @@ def sites_for_pair_long(
 
     ``max_cells``: precomputed (best, cells) — e.g. one element of
     :func:`find_max_cells_batched` — to skip the per-pair search.
+    ``tie_semantics``: tied-path direction engine (see
+    ``ops.recurrence.fill_pairs``); max cells and scores are engine-
+    independent, only the walked strings differ.
     """
     m, n = len(read_seq), len(ref_seq)
     if m == 0 or n == 0:
@@ -207,7 +211,9 @@ def sites_for_pair_long(
         windows[t, w_pad - (j - j0) :] = chunk
         ends.append(j)
 
-    h, dirs = fill_pairs(read_win, jnp.asarray(windows), *params)
+    h, dirs = fill_pairs(
+        read_win, jnp.asarray(windows), *params, tie_semantics=tie_semantics
+    )
     h, dirs = np.asarray(h), np.asarray(dirs)
 
     sites: List[Site] = []

@@ -273,6 +273,31 @@ def _diag_kernel(
     out_ref[0, pl.program_id(1), :] = jnp.max(best.astype(jnp.int32), axis=1)
 
 
+def _vmem_limit() -> float:
+    """Scoped-VMEM budget for the unroll model, by chip generation.
+
+    The r2 calibration (16 MB) was done on v5e; v4/v5p share the 16 MB
+    per-core VMEM while v6e doubles it (public TPU system specs).  The
+    table errs to 16 MB for unknown kinds; ``SWTPU_VMEM_LIMIT`` (bytes)
+    overrides everything — and the runtime fallback in
+    ``models/batch_backend._vmem_retry`` catches a misprediction on the
+    actual Mosaic RESOURCE_EXHAUSTED instead of crashing (VERDICT r2
+    task 5).
+    """
+    import os
+
+    env = os.environ.get("SWTPU_VMEM_LIMIT")
+    if env:
+        return float(env)
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 16.0e6
+    if "v6" in kind:
+        return 32.0e6
+    return 16.0e6
+
+
 def _auto_unroll(
     unroll: int, rb: int, m: int, win_rows: int, extra_regs: int = 0
 ) -> int:
@@ -290,9 +315,10 @@ def _auto_unroll(
     OOMs at a reported 16.05MB (model 16.4MB) — the model errs
     conservative on both failures.  Without this cap, read batches
     padded past 128bp crash the whole-table kernel at the default
-    unroll=64.
+    unroll=64.  The limit is per-generation (``_vmem_limit``), and a
+    runtime fallback covers mispredictions (VERDICT r2 task 5).
     """
-    limit = 16.0e6
+    limit = _vmem_limit()
     unroll &= ~1  # the diag kernels require an even unroll (see _diag_kernel)
     while unroll >= 2:
         est = 4 * (
@@ -798,6 +824,7 @@ def pallas_lane_best_packed(
     *,
     read_block: int = 8,
     mode: str = "auto",
+    unroll: int = 64,
     interpret: bool = False,
 ):
     """(C, ROWS, M) per-segment maxima for packed read rows.
@@ -853,7 +880,11 @@ def pallas_lane_best_packed(
             read_block=read_block, stream_chunk=stream_chunk,
             unroll=unroll, num_blocks=num_blocks, interpret=interpret,
         )
-    plan = plan_diag(read_block, m, n) if mode in ("auto", "whole") else None
+    plan = (
+        plan_diag(read_block, m, n, unroll)
+        if mode in ("auto", "whole")
+        else None
+    )
     if mode == "whole" and plan is None:
         raise ValueError("whole-table packed kernel cannot fit VMEM")
     if plan is not None:
@@ -864,7 +895,7 @@ def pallas_lane_best_packed(
             match=match, mismatch=mismatch, gap=gap, read_block=read_block,
             diags=diags, unroll=unroll, interpret=interpret,
         )
-    chunk, unroll = _plan_chunk(read_block, m, 2048, 64, extra_regs=6)
+    chunk, unroll = _plan_chunk(read_block, m, 2048, unroll, extra_regs=6)
     num_chunks = -(-diags // chunk)
     windows = _diag_windows(
         jnp.asarray(refs).astype(jnp.int32), m, num_chunks * chunk

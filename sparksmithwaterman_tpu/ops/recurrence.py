@@ -142,30 +142,50 @@ def score_grid(reads, refs, match, mismatch, gap):
     return best
 
 
-@functools.partial(jax.jit, static_argnames=())
-def fill_pairs(reads, refs, match, mismatch, gap):
+@functools.partial(jax.jit, static_argnames=("tie_semantics",))
+def fill_pairs(reads, refs, match, mismatch, gap, tie_semantics: str = "serial"):
     """Full fill for the traceback pass: score matrix + effective dirs.
 
     Returns:
       H:    (B, M, N) int32 — scores for rows 1..M (row 0 boundary omitted)
       dirs: (B, M, N) int8  — effective traceback codes (0 for score-0
-            cells; 1/2/3 with tie priority a > i > d otherwise).
+            cells; 1/2/3 otherwise, tie priority per ``tie_semantics``).
+
+    ``tie_semantics`` mirrors the reference's two engines (scores agree;
+    only tied-path direction codes differ — see core.oracle):
+      "serial":       '>=' in order d, i, a — last equal wins, ties
+                      a > i > d (SmithWaterman.java:217-252).
+      "distributed":  strict '>' in the same order — first equal wins,
+                      ties d > i > a (DistributedSW.java:305-330).
+    Zero-score cells store DIR_NONE under both (traceback stops there).
     """
     B, N = refs.shape
     ramp = gap * jnp.arange(N, dtype=jnp.int32)
     refs_i = refs.astype(jnp.int32)
+    serial = tie_semantics != "distributed"
 
     def body(h_prev, read_col):
         sub = _sub_scores(refs_i, read_col[:, None].astype(jnp.int32), match, mismatch)
         h, a, ins = _row_update(h_prev, sub, gap, ramp)
         d = _shift_right(h) + gap
-        # Tie priority a > i > d (GetCellScore evaluates d, i, a with >=,
-        # so the last equal candidate wins — SmithWaterman.java:217-252).
-        dir_raw = jnp.where(
-            a == h,
-            DIR_ALIGN,
-            jnp.where(ins == h, DIR_INS, jnp.where(d == h, DIR_DEL, DIR_NONE)),
-        )
+        if serial:
+            # Tie priority a > i > d (GetCellScore evaluates d, i, a with
+            # >=, so the last equal candidate wins —
+            # SmithWaterman.java:217-252).
+            dir_raw = jnp.where(
+                a == h,
+                DIR_ALIGN,
+                jnp.where(ins == h, DIR_INS, jnp.where(d == h, DIR_DEL, DIR_NONE)),
+            )
+        else:
+            # Strict '>': the FIRST candidate reaching h wins, ties
+            # d > i > a (DistributedSW.java:305-330).  For h > 0 one of
+            # d/ins/a always equals h; h == 0 cells are masked below.
+            dir_raw = jnp.where(
+                d == h,
+                DIR_DEL,
+                jnp.where(ins == h, DIR_INS, jnp.where(a == h, DIR_ALIGN, DIR_NONE)),
+            )
         eff = jnp.where(h > 0, dir_raw, DIR_NONE).astype(jnp.int8)
         return h, (h, eff)
 

@@ -228,3 +228,55 @@ def test_sharded_backend_packed_routes_to_mesh(make_seq, monkeypatch, tmp_path):
     want = BatchBackend(config).totals(reads, refs)
     np.testing.assert_array_equal(got, want)
     assert calls["n"] > 0
+
+
+def test_vmem_retry_fallback():
+    """A Mosaic scoped-VMEM RESOURCE_EXHAUSTED at dispatch degrades to a
+    smaller unroll (cached per shape) instead of crashing; other errors
+    propagate.  VERDICT r2 task 5 (forced misprediction)."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+    be = BatchBackend(AlignConfig(ref_dir=".", in_dir=".", out_dir="."))
+    calls = []
+
+    def flaky(unroll):
+        calls.append(unroll)
+        if unroll > 8:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Attempting to allocate 17.89M in "
+                "scoped vmem. Its current capacity is 16.00M"
+            )
+        return unroll
+
+    assert be._vmem_retry(("k", 1), flaky) == 8
+    assert calls == [64, 32, 16, 8]
+    # Cached: the next call starts at the corrected unroll.
+    calls.clear()
+    assert be._vmem_retry(("k", 1), flaky) == 8
+    assert calls == [8]
+
+    # Non-VMEM errors are not swallowed.
+    import pytest
+
+    def broken(unroll):
+        raise ValueError("something unrelated")
+
+    with pytest.raises(ValueError, match="unrelated"):
+        be._vmem_retry(("k2", 1), broken)
+
+    # An OOM that never clears bottoms out at unroll=2 and re-raises.
+    def always(unroll):
+        raise RuntimeError("RESOURCE_EXHAUSTED in scoped vmem")
+
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        be._vmem_retry(("k3", 1), always)
+
+
+def test_vmem_limit_env_override(monkeypatch):
+    from sparksmithwaterman_tpu.ops.pallas_score import _vmem_limit
+
+    monkeypatch.setenv("SWTPU_VMEM_LIMIT", "8000000")
+    assert _vmem_limit() == 8.0e6
+    monkeypatch.delenv("SWTPU_VMEM_LIMIT")
+    assert _vmem_limit() >= 16.0e6

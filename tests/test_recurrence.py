@@ -216,3 +216,127 @@ def test_packed_totals_matches_unpacked(monkeypatch, make_seq):
     best, ties = be2.best_of(reads, refs)
     assert best == int(want.max())
     assert ties == [int(i) for i in np.flatnonzero(want == want.max())]
+
+
+def test_fill_pairs_distributed_tie_semantics(make_seq):
+    """Device fill under tie_semantics='distributed' must reproduce the
+    oracle's DistributedSW engine (strict '>', ties d > i > a) — VERDICT
+    r2 task 3: the second engine end-to-end, not just as a host mode."""
+    reads = [make_seq(8) for _ in range(4)]
+    refs = [make_seq(20) for _ in range(4)]
+    reads_enc, refs_enc = _pairs(refs, reads, 8, 24)
+    h, dirs = fill_pairs(
+        reads_enc, refs_enc, *PARAMS, tie_semantics="distributed"
+    )
+    h, dirs = np.asarray(h), np.asarray(dirs)
+    for b, (ref, read) in enumerate(zip(refs, reads)):
+        scores_o, dirs_o, _, _ = oracle.fill_matrices(
+            ref, read, tie_semantics="distributed"
+        )
+        m, n = len(read), len(ref)
+        np.testing.assert_array_equal(h[b, :m, :n], scores_o[1:, 1:])
+        eff_o = np.where(scores_o[1:, 1:] > 0, dirs_o[1:, 1:], 0)
+        np.testing.assert_array_equal(dirs[b, :m, :n], eff_o)
+
+
+def test_sites_distributed_semantics_match_oracle(make_seq):
+    """fill + host walk under 'distributed' reproduces the oracle's
+    DistributedSW strings on tied paths (incl. the known divergence
+    ACCACG/ACT_CG vs A_CTCG)."""
+    scheme = ScoringScheme(tie_semantics="distributed")
+    params = tuple(np.int32(v) for v in scheme.align_scores)
+    cases = [("ACCACGCCG", "ACTCG")] + [
+        (make_seq(25), make_seq(9)) for _ in range(5)
+    ]
+    for ref, read in cases:
+        m_pad = max(16, len(read))
+        reads_enc, refs_enc = _pairs([ref], [read], m_pad, 32)
+        h, dirs = fill_pairs(
+            reads_enc, refs_enc, *params, tie_semantics="distributed"
+        )
+        got = sites_from_fill(
+            np.asarray(h)[0], np.asarray(dirs)[0], ref, read, scheme.gap_char
+        )
+        _, want = oracle.opt_alignments(
+            ref, read, scheme, tie_semantics="distributed"
+        )
+        assert got == want
+    # The concrete tied-path divergence (DistributedSW.java:305-330).
+    reads_enc, refs_enc = _pairs(["ACCACGCCG"], ["ACTCG"], 16, 32)
+    h, dirs = fill_pairs(
+        reads_enc, refs_enc, *params, tie_semantics="distributed"
+    )
+    got = sites_from_fill(np.asarray(h)[0], np.asarray(dirs)[0], "ACCACGCCG", "ACTCG")
+    assert got == [(1, ("ACCACG", "ACT_CG")), (4, ("ACGCCG", "ACTC_G"))]
+
+
+def test_device_traceback_distributed_semantics(make_seq):
+    """fill_and_trace (the shipped on-device walk) under 'distributed'."""
+    from sparksmithwaterman_tpu.ops.device_traceback import (
+        fill_and_trace,
+        path_cap,
+        sites_from_trace,
+    )
+
+    scheme = ScoringScheme(tie_semantics="distributed")
+    cases = [("ACCACGCCG", "ACTCG")] + [
+        (make_seq(30), make_seq(10)) for _ in range(5)
+    ]
+    for ref, read in cases:
+        reads_enc, refs_enc = _pairs([ref], [read], 16, 32)
+        best, counts, cells, begins, codes = fill_and_trace(
+            reads_enc,
+            refs_enc,
+            *PARAMS,
+            capacity=16,
+            cap=path_cap(16),
+            tie_semantics="distributed",
+        )
+        got = sites_from_trace(
+            int(best[0]),
+            int(counts[0]),
+            np.asarray(cells)[0],
+            np.asarray(begins)[0],
+            np.asarray(codes)[0],
+            ref,
+            read,
+        )
+        _, want = oracle.opt_alignments(
+            ref, read, scheme, tie_semantics="distributed"
+        )
+        assert got == want
+
+
+def test_pipeline_distributed_semantics_end_to_end(tmp_path):
+    """A wavefront-strategy run with --tie-semantics distributed emits
+    DistributeAlgorithm's strings; serial strategy with the same scoring
+    agrees byte-for-byte (engine consistency across strategies)."""
+    import re
+
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models.pipeline import run_pipeline
+
+    ref_dir, in_dir = tmp_path / "refs", tmp_path / "inputs"
+    ref_dir.mkdir(), in_dir.mkdir()
+    (ref_dir / "r.fna").write_text(">gi|tied\nACCACGCCG\n")
+    (in_dir / "i.fa").write_text("ACTCG\n")
+
+    def run(strategy, tie):
+        out = tmp_path / f"out_{strategy}_{tie}"
+        paths = run_pipeline(
+            AlignConfig(
+                ref_dir=str(ref_dir),
+                in_dir=str(in_dir),
+                out_dir=str(out),
+                strategy=strategy,
+                scoring=ScoringScheme(tie_semantics=tie),
+            )
+        )
+        return re.sub(r"Execution Time = \d+ ms", "", open(paths[0]).read())
+
+    wf_d = run("wavefront", "distributed")
+    se_d = run("serial", "distributed")
+    wf_s = run("wavefront", "serial")
+    assert "ACT_CG" in wf_d  # DistributedSW's tied-path string
+    assert "A_CTCG" in wf_s  # SmithWaterman's tied-path string
+    assert wf_d == se_d
