@@ -397,7 +397,7 @@ class ShardedBackend(BatchBackend):
         if mesh is None:
             from sparksmithwaterman_tpu.parallel.mesh import build_mesh
 
-            n = len(jax.devices())
+            n = len(jax.local_devices())  # per-process ICI mesh
             if config.strategy == "shard_reads":
                 mesh = build_mesh((1, n))
             else:

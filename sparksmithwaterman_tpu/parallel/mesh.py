@@ -25,7 +25,17 @@ from jax.sharding import Mesh
 
 
 def mesh_devices(n_devices: Optional[int] = None) -> list:
-    devs = jax.devices()
+    """Devices for THIS process's mesh.
+
+    ``local_devices()`` (not ``devices()``): under a multi-process
+    runtime (``jax.distributed``) each host drives its own chip mesh
+    over ICI while the host axis — the reference-file manifest — rides
+    DCN via ``process_allgather`` (``parallel/multihost.py``).  A global
+    mesh here would require every process to execute every per-shard
+    dispatch in lockstep, which is exactly the Spark-driver bottleneck
+    the design avoids.  Single-process, local == global.
+    """
+    devs = jax.local_devices()
     if n_devices is not None:
         if n_devices > len(devs):
             raise ValueError(

@@ -146,24 +146,28 @@ def run_multihost_pipeline(
 
         local_max = 0
         local_refs = 0
-        # Winner candidates: (file_idx, seq_idx, metadata, sequence).
-        winners: List[Tuple[int, int, str, str]] = []
+        # Winner candidates: (file_idx, seq_idx) ONLY — journals and
+        # candidate files are O(winners) small; sequences are re-read
+        # from the (shared) reference files at merge time.  Storing the
+        # full strings was unbounded on RefSeq-scale ties (VERDICT r2
+        # task 7).
+        winners: List[Tuple[int, int]] = []
         # Cross-file dispatch batching, as in models/pipeline.py.
-        pending: List[Tuple[int, int, str, str]] = []
+        pending: List[Tuple[int, int, str]] = []  # (file_idx, seq_idx, seq)
         pending_bp = 0
 
         def flush():
             nonlocal local_max, winners, pending, pending_bp
             if not pending:
                 return
-            totals = backend.totals(reads, [seq for _, _, _, seq in pending])
-            for (file_idx, seq_idx, metadata, seq), total in zip(pending, totals):
+            totals = backend.totals(reads, [seq for _, _, seq in pending])
+            for (file_idx, seq_idx, _), total in zip(pending, totals):
                 total = int(total)
                 if total > local_max:
                     local_max = total
-                    winners = [(file_idx, seq_idx, metadata, seq)]
+                    winners = [(file_idx, seq_idx)]
                 elif total == local_max:
-                    winners.append((file_idx, seq_idx, metadata, seq))
+                    winners.append((file_idx, seq_idx))
             pending = []
             pending_bp = 0
 
@@ -175,8 +179,8 @@ def run_multihost_pipeline(
             for file_idx, ref_file in my_files:
                 ref_seqs = get_ref_seqs(ref_file, config.delimiter)
                 local_refs += len(ref_seqs)
-                for seq_idx, (metadata, seq) in enumerate(ref_seqs):
-                    pending.append((file_idx, seq_idx, metadata, seq))
+                for seq_idx, (_, seq) in enumerate(ref_seqs):
+                    pending.append((file_idx, seq_idx, seq))
                     pending_bp += len(seq)
                     if pending_bp >= config.ref_batch_bp:
                         flush()
@@ -215,17 +219,28 @@ def run_multihost_pipeline(
             config.out_dir, f"{config.out_name}{input_num}{config.out_ext}"
         )
         if host.process_id == 0:
-            merged: List[Tuple[int, int, str, str]] = []
+            merged: List[Tuple[int, int]] = []
             for pid in range(host.num_processes):
                 p = os.path.join(partial_dir, f"input{input_num}.host{pid}.json")
                 with open(p) as f:
                     merged.extend(tuple(x) for x in json.load(f))
             # Serial encounter order, then the report's metadata sort.
-            merged.sort(key=lambda w: (w[0], w[1]))
-            opt: List[OptEntry] = [
-                ((metadata, seq), backend.sites_for_ref(seq, reads))
-                for _, _, metadata, seq in merged
-            ]
+            merged.sort()
+            # Re-read winning sequences by (file_idx, seq_idx) — the
+            # shared-fs analogue of the reference's driver-side
+            # ``lookup`` (Distribution.java:348-352), O(winner files)
+            # instead of shipping every winning sequence as JSON.
+            parsed_files: dict = {}
+            opt: List[OptEntry] = []
+            for file_idx, seq_idx in merged:
+                if file_idx not in parsed_files:
+                    parsed_files[file_idx] = get_ref_seqs(
+                        files[file_idx], config.delimiter
+                    )
+                metadata, seq = parsed_files[file_idx][seq_idx]
+                opt.append(
+                    ((metadata, seq), backend.sites_for_ref(seq, reads))
+                )
             exec_ms = int((time.monotonic() - t0) * 1000)
             opt.sort(key=lambda entry: entry[0][0])
             report = build_report(

@@ -218,7 +218,7 @@ class SeqParallelBackend:
         from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
 
         if mesh is None:
-            n = len(_jax.devices())
+            n = len(_jax.local_devices())  # per-process ICI mesh
             from sparksmithwaterman_tpu.parallel.mesh import build_mesh
 
             mesh = build_mesh((n,), axis_names=("seq",), n_devices=n)

@@ -150,7 +150,14 @@ def test_per_shard_journal_resume(tmp_path):
         )
 
 
-def test_real_two_process_distributed(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("strategy,devices_per_proc", [
+    ("serial", 1),
+    ("shard_refs", 2),
+])
+def test_real_two_process_distributed(tmp_path, strategy, devices_per_proc):
     """UNMOCKED 2-process run: a real jax.distributed coordinator, real
     process_allgather + sync_global_devices, shared-fs candidate merge.
 
@@ -158,6 +165,13 @@ def test_real_two_process_distributed(tmp_path):
     monkeypatched collectives (kept above as the fast smoke layer); the
     reference assumed a real Spark cluster
     (``src/sw/Distribution.java:305``).
+
+    The ``shard_refs`` case is the actual pod topology (VERDICT r2 task
+    7): DCN manifest shard (2 processes) x per-process ICI chip mesh
+    (2 virtual devices each, ``parallel/mesh.mesh_devices`` ->
+    ``jax.local_devices()``) — every process drives real sharded
+    dispatches, like the reference's executors
+    (``Distribution.java:337-353``).
     """
     import socket
     import subprocess
@@ -196,8 +210,12 @@ def test_real_two_process_distributed(tmp_path):
         "host.initialize()\n"
         "cfg = AlignConfig(\n"
         f"    ref_dir={str(ref_dir)!r}, in_dir={str(in_dir)!r},\n"
-        f"    out_dir={str(tmp_path / 'out2p')!r}, strategy='serial')\n"
+        f"    out_dir={str(tmp_path / 'out2p')!r}, strategy={strategy!r},\n"
+        "    read_bucket=8, ref_bucket=8)\n"
         "run_multihost_pipeline(cfg, host)\n"
+        "import jax\n"
+        f"assert len(jax.local_devices()) == {devices_per_proc}, (\n"
+        "    jax.local_devices())\n"
     )
     import os
     import pathlib
@@ -211,7 +229,12 @@ def test_real_two_process_distributed(tmp_path):
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in (repo_root, env.get("PYTHONPATH")) if p
     )
-    env.pop("XLA_FLAGS", None)  # one device per process
+    if devices_per_proc > 1:
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={devices_per_proc}"
+        )
+    else:
+        env.pop("XLA_FLAGS", None)  # one device per process
     procs = [
         subprocess.Popen(
             [sys.executable, str(driver), str(pid)],
@@ -243,3 +266,14 @@ def test_real_two_process_distributed(tmp_path):
         ]
 
     assert strip(tmp_path / "out2p" / "result1.txt") == strip(ref[0])
+
+    # Candidate + journal payloads are O(winners) index pairs, never
+    # full sequences (VERDICT r2 task 7).
+    import json
+
+    partial = tmp_path / "out2p" / ".partial"
+    for pid in (0, 1):
+        with open(partial / f"input1.host{pid}.json") as f:
+            cands = json.load(f)
+        for item in cands:
+            assert len(item) == 2 and all(isinstance(x, int) for x in item)
