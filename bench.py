@@ -140,6 +140,220 @@ def _oracle_rate(reads, refs, params):
     return cells / dt, scores
 
 
+def run_smoke():
+    """Compiled-mode parity smoke of EVERY kernel variant (VERDICT r2
+    task 6): row, whole-table diag, chunked diag, packed whole, packed
+    chunked, packed stream, chunked argmax — each at small shapes,
+    checked against the serial oracle (small grids) or the lax
+    recurrence (larger ones; itself oracle-pinned by the CPU suite).
+    Runs on every ``python bench.py`` invocation on TPU (compiles cache
+    across runs); returns "pass" or "fail:<variant>: <error>".  Both
+    round-2 hardware-only bugs (i1 rotate, scoped-VMEM OOM at wide
+    reads) were in classes this catches.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return "skipped:not-tpu"
+
+    from sparksmithwaterman_tpu.config import ScoringScheme
+    from sparksmithwaterman_tpu.core import oracle
+    from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+    from sparksmithwaterman_tpu.ops.packing import pack_reads, read_best
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        pallas_argmax_grid_diag_chunked,
+        pallas_lane_best_packed,
+        pallas_score_grid,
+        pallas_score_grid_diag,
+        pallas_score_grid_diag_chunked,
+    )
+    from sparksmithwaterman_tpu.ops.recurrence import score_grid
+
+    rng = np.random.default_rng(42)
+    params = (np.int32(5), np.int32(-3), np.int32(-4))
+
+    def seqs(r, m, c, n, ragged=False):
+        reads = [
+            "".join(rng.choice(_BASES, size=int(l)))
+            for l in (
+                rng.integers(max(1, m // 2), m + 1, size=r)
+                if ragged
+                else [m] * r
+            )
+        ]
+        refs = ["".join(rng.choice(_BASES, size=n)) for _ in range(c)]
+        return reads, refs
+
+    def lax_want(reads, refs, m_pad, n_pad):
+        return np.asarray(
+            score_grid(
+                encode_batch(reads, m_pad, READ_PAD),
+                encode_batch(refs, n_pad, REF_PAD),
+                *params,
+            )
+        )
+
+    def oracle_want(reads, refs):
+        s = ScoringScheme()
+        return np.array(
+            [
+                [oracle.opt_alignments(ref, read, s)[0] for ref in refs]
+                for read in reads
+            ]
+        )
+
+    checks = []
+
+    # row kernel — oracle-exact at tiny shapes
+    reads, refs = seqs(16, 16, 4, 64)
+    checks.append(
+        (
+            "row",
+            lambda reads=reads, refs=refs: (
+                np.asarray(
+                    pallas_score_grid(
+                        encode_batch(reads, 16, READ_PAD),
+                        encode_batch(refs, 64, REF_PAD),
+                        *(int(p) for p in params),
+                        read_block=8,
+                    )
+                )[: len(reads)],
+                oracle_want(reads, refs),
+            ),
+        )
+    )
+
+    # whole-table diag — two shapes (narrow + wide reads)
+    for m, n, label in ((64, 512, "diag_whole"), (256, 1024, "diag_whole_wide")):
+        reads, refs = seqs(8, m, 4, n)
+        checks.append(
+            (
+                label,
+                lambda reads=reads, refs=refs, m=m, n=n: (
+                    np.asarray(
+                        pallas_score_grid_diag(
+                            encode_batch(reads, m, READ_PAD),
+                            encode_batch(refs, n, REF_PAD),
+                            *params,
+                            read_block=8,
+                        )
+                    ),
+                    lax_want(reads, refs, m, n),
+                ),
+            )
+        )
+
+    # chunked diag — n spans several window chunks
+    reads, refs = seqs(8, 128, 2, 3072)
+    checks.append(
+        (
+            "diag_chunked",
+            lambda reads=reads, refs=refs: (
+                np.asarray(
+                    pallas_score_grid_diag_chunked(
+                        encode_batch(reads, 128, READ_PAD),
+                        encode_batch(refs, 3072, REF_PAD),
+                        *params,
+                        read_block=8,
+                        chunk=1024,
+                    )
+                ),
+                lax_want(reads, refs, 128, 3072),
+            ),
+        )
+    )
+
+    # packed kernels (ragged reads): whole + stream at 512bp refs vs
+    # the oracle; chunked via a ref long enough that the whole-table
+    # window cannot fit scoped VMEM (auto falls to the chunked form),
+    # checked against the lax recurrence.
+    reads, refs = seqs(24, 64, 4, 512, ragged=True)
+    packed, start_idx = pack_reads(reads, 128, row_multiple=8)
+    refs_enc = encode_batch(refs, 512, REF_PAD)
+    want_packed = oracle_want(reads, refs)
+    for mode in ("whole", "stream"):
+        def run_packed(mode=mode):
+            lane = pallas_lane_best_packed(
+                packed,
+                refs_enc,
+                *(int(p) for p in params),
+                read_block=8,
+                mode=mode,
+            )
+            return np.asarray(read_best(lane, start_idx)), want_packed
+
+        checks.append((f"packed_{mode}", run_packed))
+
+    refs_long = ["".join(rng.choice(_BASES, size=12288)) for _ in range(2)]
+
+    def run_packed_chunked():
+        lane = pallas_lane_best_packed(
+            packed,
+            encode_batch(refs_long, 12288, REF_PAD),
+            *(int(p) for p in params),
+            read_block=8,
+            mode="auto",
+        )
+        got = np.asarray(read_best(lane, start_idx))
+        return got, lax_want(reads, refs_long, 128, 12288)
+
+    checks.append(("packed_chunked", run_packed_chunked))
+
+    # chunked argmax (longseq max-cell kernel)
+    reads, refs = seqs(8, 64, 1, 2048)
+    def run_argmax(reads=reads, refs=refs):
+        best, bestd, count = pallas_argmax_grid_diag_chunked(
+            encode_batch(reads, 64, READ_PAD),
+            encode_batch(refs, 2048, REF_PAD),
+            *(int(p) for p in params),
+            read_block=8,
+        )
+        got = np.asarray(best).max(axis=2)[: len(reads)]  # (R, C)
+        return got, lax_want(reads, refs, 64, 2048)
+
+    checks.append(("argmax_chunked", run_argmax))
+
+    for name, fn in checks:
+        try:
+            got, want = fn()
+            got = np.asarray(got)[: want.shape[0], : want.shape[1]]
+            if not np.array_equal(got, want):
+                bad = int(np.sum(got != want))
+                return f"fail:{name}: {bad} mismatched scores"
+        except Exception as e:  # noqa: BLE001 - report, don't crash bench
+            return f"fail:{name}: {type(e).__name__}: {str(e)[:160]}"
+    return "pass"
+
+
+# The smoke pass compiles fresh kernel shapes; a degraded remote Mosaic
+# compile service can HANG such compiles indefinitely (observed 2026-08-20:
+# trivial fresh pallas compiles blocked > 400s while cached executables and
+# plain XLA compiles worked).  Running smoke in a subprocess with a hard
+# timeout keeps the driver's bench from wedging; compiled results persist
+# in the XLA cache, so a later healthy run completes instantly.
+SMOKE_TIMEOUT_S = 600
+
+
+def _smoke_subprocess() -> str:
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--smoke-only"],
+            capture_output=True,
+            text=True,
+            timeout=SMOKE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return "skipped:compile-timeout (degraded remote compile service?)"
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    if proc.returncode != 0 or not lines:
+        return f"fail:smoke-subprocess rc={proc.returncode}: " + (
+            proc.stderr.strip().splitlines()[-1][:160] if proc.stderr else "?"
+        )
+    return lines[-1]
+
+
 def _repeat(fn, repeats=REPEATS):
     """Run ``fn`` ``repeats`` times; return (median_rate, rates, payload).
 
@@ -155,6 +369,9 @@ def main(argv):
     from sparksmithwaterman_tpu.cli import enable_compile_cache
 
     enable_compile_cache()
+    if "--smoke-only" in argv:
+        print(run_smoke())
+        return 0
     params = (np.int32(5), np.int32(-3), np.int32(-4))
 
     kernel_gcups, kernel_rates, (kreads, krefs, kgrid) = _repeat(
@@ -182,6 +399,7 @@ def main(argv):
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
+    smoke = _smoke_subprocess() if "--no-smoke" not in argv else "skipped:flag"
     measured = {"kernel_gcups": kernel_gcups, "e2e_gcups": e2e_gcups}
     bad = {
         k: (round(measured[k], 1), floor)
@@ -209,6 +427,8 @@ def main(argv):
         "thresholds": (
             ("pass" if not bad else "fail") if on_tpu else "skipped:not-tpu"
         ),
+        # Compiled-mode parity of every kernel variant (see run_smoke).
+        "smoke": smoke,
         "threshold_detail": bad or None,
         "env_suspect": bool(
             on_tpu
@@ -227,6 +447,9 @@ def main(argv):
             return 0
         if bad:
             print(f"PERF REGRESSION: {bad}", file=sys.stderr)
+            return 1
+        if smoke.startswith("fail"):
+            print(f"SMOKE FAILURE: {smoke}", file=sys.stderr)
             return 1
     return 0
 

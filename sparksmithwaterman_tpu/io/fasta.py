@@ -117,11 +117,36 @@ def decode_seq(codes: np.ndarray) -> str:
 
 
 def encode_batch(seqs: List[str], pad_to: int, pad_value: int) -> np.ndarray:
-    """Encode sequences into a (len(seqs), pad_to) uint8 array."""
+    """Encode sequences into a (len(seqs), pad_to) uint8 array.
+
+    Vectorized: one join + one ``bytes.upper`` + one fancy-index scatter
+    over the whole batch (the per-sequence Python loop was measured as
+    the dominant serial host cost at 100K-read scale — VERDICT r2 task
+    2).  ``bytes.upper`` maps only a-z -> A-Z, identical to
+    ``str.upper`` (and the reference's ``Character.toUpperCase`` compare,
+    ``SmithWaterman.java:311-312``) on ASCII; non-ASCII content takes the
+    exact per-sequence path.
+    """
     out = np.full((len(seqs), pad_to), pad_value, dtype=np.uint8)
-    for i, s in enumerate(seqs):
-        enc = encode_seq(s)
-        if enc.size > pad_to:
-            raise ValueError(f"sequence length {enc.size} exceeds pad_to={pad_to}")
-        out[i, : enc.size] = enc
+    if not seqs:
+        return out
+    blob = "".join(seqs)
+    if not blob.isascii():  # exotic content: exact str.upper semantics
+        for i, s in enumerate(seqs):
+            enc = encode_seq(s)
+            if enc.size > pad_to:
+                raise ValueError(
+                    f"sequence length {enc.size} exceeds pad_to={pad_to}"
+                )
+            out[i, : enc.size] = enc
+        return out
+    lens = np.fromiter((len(s) for s in seqs), np.int64, count=len(seqs))
+    max_len = int(lens.max())
+    if max_len > pad_to:
+        raise ValueError(f"sequence length {max_len} exceeds pad_to={pad_to}")
+    flat = np.frombuffer(blob.encode("latin-1").upper(), dtype=np.uint8)
+    row = np.repeat(np.arange(len(seqs)), lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    col = np.arange(flat.size) - np.repeat(starts, lens)
+    out[row, col] = flat
     return out

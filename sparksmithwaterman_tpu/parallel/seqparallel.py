@@ -141,6 +141,40 @@ def _seqp_call(reads, ref, match, mismatch, gap, *, mesh, axis, stripe):
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "stripe")
+)
+def _seqp_call_batch(reads, refs, match, mismatch, gap, *, mesh, axis, stripe):
+    """Batched form: C refs per dispatch (VERDICT r2 task 4 — the
+    per-reference dispatch loop was the strategy's dominant overhead).
+
+    The per-chip band fill is vmapped over the ref axis INSIDE the
+    shard_map, so one dispatch fills C DP bands concurrently and the
+    per-round ppermute carries a (C, stripe, B) boundary block — C
+    boundary exchanges coalesced into one collective per round.
+    """
+    reads_t = reads.astype(jnp.int32).T  # (M, B)
+    refs_i = refs.astype(jnp.int32)  # (C, N)
+
+    def body(reads_t, refs_seg, m_, mm_, g_):
+        fill = functools.partial(_device_fill, stripe=stripe, axis=axis)
+        return jax.vmap(
+            lambda seg: fill(reads_t, seg, m_, mm_, g_)
+        )(refs_seg)  # (C, B)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(
+        reads_t, refs_i,
+        jnp.int32(match), jnp.int32(mismatch), jnp.int32(gap),
+    )
+
+
 def seqparallel_scores(
     reads,
     ref: str,
@@ -200,6 +234,30 @@ def seqparallel_scores(
     )
 
 
+def seqparallel_scores_batch(
+    reads_enc: np.ndarray,
+    refs_enc: np.ndarray,
+    match: int,
+    mismatch: int,
+    gap: int,
+    *,
+    mesh: Mesh,
+    axis: str = "seq",
+    stripe: int = 8,
+):
+    """(C, B) max scores: every ref length-sharded, C refs per dispatch.
+
+    ``reads_enc``: (B, M) uint8, M % stripe == 0; ``refs_enc``: (C, N)
+    uint8, N % mesh-axis-size == 0.
+    """
+    return _seqp_call_batch(
+        jnp.asarray(reads_enc),
+        jnp.asarray(refs_enc),
+        int(match), int(mismatch), int(gap),
+        mesh=mesh, axis=axis, stripe=int(stripe),
+    )
+
+
 class SeqParallelBackend:
     """Pipeline backend: every reference length-sharded over ALL devices.
 
@@ -237,32 +295,62 @@ class SeqParallelBackend:
         m = -(-m // self.stripe) * self.stripe
         return encode_batch(list(reads), m, READ_PAD)
 
+    # Element budget for one dispatch's (C, B, N/size) DP state (int32
+    # words, per device); bounds the refs batched into one shard_map
+    # call.
+    _SEQ_STATE_BUDGET = 1 << 25
+
     def totals(self, reads, ref_seqs):
         totals = np.zeros(len(ref_seqs), dtype=np.int64)
         if not reads or not ref_seqs:
             return totals
         reads_enc = self._encode_reads(reads)
+        b = reads_enc.shape[0]
         size = self.mesh.shape[self.axis]
         quantum = size * self.ref_bucket
         s = self.scoring
         real_cells = sum(len(r) for r in ref_seqs) * sum(len(r) for r in reads)
-        pending = []
         with self.gcups.measure_lazy() as done:
-            # PIPELINED: dispatch every ref before fetching anything —
-            # a fetch per reference serializes one blocking round-trip
-            # per ref (the pattern BatchBackend.totals measured at 25
-            # vs kernel-rate GCUPS).
-            for ref in ref_seqs:
-                # Quantize the padded length so ragged refs reuse compiles.
+            # Group refs by quantized padded length; each group chunk is
+            # ONE batched shard_map dispatch (VERDICT r2 task 4: the
+            # per-ref dispatch loop dominated this strategy's runtime) —
+            # and everything stays PIPELINED: nothing is fetched until
+            # every chunk is dispatched.
+            groups: dict = {}
+            for i, ref in enumerate(ref_seqs):
                 n = max(-(-len(ref) // quantum) * quantum, quantum)
-                ref_enc = encode_batch([ref], n, REF_PAD)[0]
-                scores = seqparallel_scores(
-                    reads_enc, ref_enc, s.match, s.mismatch, s.gap,
-                    mesh=self.mesh, axis=self.axis, stripe=self.stripe,
+                groups.setdefault(n, []).append(i)
+            pending = []  # (indices, (C,) device sums)
+            for n, idx in sorted(groups.items()):
+                c_block = max(
+                    1, self._SEQ_STATE_BUDGET // max(1, b * (n // size))
                 )
-                pending.append(scores.sum(dtype=jnp.int32))
-            flat = np.asarray(jnp.stack(pending))  # ONE fetch
-            totals[:] = flat.astype(np.int64)
+                for start in range(0, len(idx), c_block):
+                    chunk = idx[start : start + c_block]
+                    # Quantize the chunk's ref count (8 * 2^k ladder) so
+                    # ragged tails reuse one compiled shape.
+                    c_q = 8
+                    while c_q < len(chunk):
+                        c_q *= 2
+                    refs_enc = encode_batch(
+                        [ref_seqs[i] for i in chunk] + [""] * (c_q - len(chunk)),
+                        n,
+                        REF_PAD,
+                    )
+                    scores = seqparallel_scores_batch(
+                        reads_enc, refs_enc, s.match, s.mismatch, s.gap,
+                        mesh=self.mesh, axis=self.axis, stripe=self.stripe,
+                    )  # (C_q, B)
+                    pending.append((chunk, scores.sum(axis=1, dtype=jnp.int32)))
+            flat = np.asarray(
+                jnp.concatenate([col for _, col in pending])
+            )  # ONE fetch
+            off = 0
+            for chunk, col in pending:
+                totals[chunk] = flat[off : off + col.shape[0]][
+                    : len(chunk)
+                ].astype(np.int64)
+                off += col.shape[0]
             done(real_cells)
         return totals
 

@@ -110,3 +110,51 @@ def test_seqparallel_encoded_inputs(make_seq):
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_batched_seqparallel_matches_oracle(make_seq):
+    """One dispatch scores MANY length-sharded refs (VERDICT r2 task 4);
+    scores stay bitwise-oracle-exact, padded batch rows are harmless."""
+    import jax
+
+    from sparksmithwaterman_tpu.core import oracle
+    from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+    from sparksmithwaterman_tpu.parallel.mesh import build_mesh
+    from sparksmithwaterman_tpu.parallel.seqparallel import (
+        seqparallel_scores_batch,
+    )
+
+    n_dev = min(4, len(jax.devices()))
+    mesh = build_mesh((n_dev,), axis_names=("seq",), n_devices=n_dev)
+    reads = [make_seq(12) for _ in range(5)] + [""]
+    refs = [make_seq(40), make_seq(37), make_seq(24)]
+    reads_enc = encode_batch(reads, 16, READ_PAD)
+    n_pad = -(-40 // n_dev) * n_dev
+    refs_enc = encode_batch(refs + [""], n_pad, REF_PAD)  # padded tail row
+    got = np.asarray(
+        seqparallel_scores_batch(
+            reads_enc, refs_enc, 5, -3, -4, mesh=mesh, stripe=8
+        )
+    )
+    for c, ref in enumerate(refs):
+        for b, read in enumerate(reads):
+            assert got[c, b] == oracle.opt_alignments(ref, read)[0]
+    assert (got[3] == 0).all()  # all-pad ref row scores exactly 0
+
+
+def test_seqparallel_backend_totals_batched(tmp_path, make_seq):
+    """SeqParallelBackend.totals (now chunk-batched) equals SerialBackend."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models.aligner import SerialBackend
+    from sparksmithwaterman_tpu.parallel.seqparallel import SeqParallelBackend
+
+    cfg = AlignConfig(
+        ref_dir=".", in_dir=".", out_dir=".", strategy="shard_seq",
+        read_bucket=8, ref_bucket=8,
+    )
+    be = SeqParallelBackend(cfg)
+    reads = [make_seq(10) for _ in range(4)]
+    refs = [make_seq(int(n)) for n in (30, 64, 17, 90, 33, 9, 120, 56, 41)]
+    got = be.totals(reads, refs)
+    want = SerialBackend(cfg.scoring).totals(reads, refs)
+    np.testing.assert_array_equal(got, want)
