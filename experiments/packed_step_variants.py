@@ -1,4 +1,5 @@
 """Isolate the packed-kernel slowdown: step variants A-E at one shape."""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools, time
 import numpy as np
 import jax, jax.numpy as jnp
