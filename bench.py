@@ -286,7 +286,11 @@ def run_smoke():
 
     refs_long = ["".join(rng.choice(_BASES, size=12288)) for _ in range(2)]
 
-    def run_packed_chunked():
+    # NB: bind data as default args — ``reads`` is rebound below for the
+    # argmax check, and these callables run only after the whole list is
+    # built (a late-binding slip here once compared the packed result
+    # against the argmax check's reads: 16 false mismatches).
+    def run_packed_chunked(reads=reads, refs_long=refs_long):
         lane = pallas_lane_best_packed(
             packed,
             encode_batch(refs_long, 12288, REF_PAD),
