@@ -303,6 +303,35 @@ def run_smoke():
 
     checks.append(("packed_chunked", run_packed_chunked))
 
+    # varlen packed (mixed-length refs, one dispatch; interleaved lane
+    # layout at m=256) — the e2e hot path since round 3.
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        pallas_lane_best_packed_varlen,
+    )
+
+    reads_v = [
+        "".join(rng.choice(_BASES, size=int(l)))
+        for l in rng.integers(80, 257, size=24)
+    ]
+    refs_v = [
+        "".join(rng.choice(_BASES, size=int(l)))
+        for l in (64, 200, 511, 1024, 2048, 333, 767, 96)
+    ]
+    packed_v, si_v = pack_reads(reads_v, 256, row_multiple=8)
+
+    def run_varlen(reads_v=reads_v, refs_v=refs_v):
+        lane = pallas_lane_best_packed_varlen(
+            packed_v,
+            encode_batch(refs_v, 2048, REF_PAD),
+            [len(r) for r in refs_v],
+            *(int(p) for p in params),
+            read_block=8,
+        )
+        got = np.asarray(read_best(lane, si_v))
+        return got, lax_want(reads_v, refs_v, 256, 2048)
+
+    checks.append(("packed_varlen", run_varlen))
+
     # chunked argmax (longseq max-cell kernel)
     reads, refs = seqs(8, 64, 1, 2048)
     def run_argmax(reads=reads, refs=refs):

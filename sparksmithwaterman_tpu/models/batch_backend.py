@@ -160,6 +160,11 @@ class BatchBackend:
         # scoped-VMEM RESOURCE_EXHAUSTED (the VMEM model mispredicted);
         # see _vmem_retry.  VERDICT r2 task 5.
         self._unroll_override: Dict[tuple, int] = {}
+        # Pack cache for the LAST reads batch (identity-checked): the
+        # pipeline calls totals/best_of once per ref-file flush with the
+        # SAME reads list for a whole input file, and first-fit packing
+        # 100K reads in Python per flush would dominate host time.
+        self._pack_cache: Tuple[object, int, List[dict]] = (None, 0, [])
 
     @staticmethod
     def _is_vmem_oom(e: Exception) -> bool:
@@ -345,7 +350,55 @@ class BatchBackend:
         total_cells = 0
         pending: List[Tuple[List[int], object]] = []
         r_limit = max(1, _INT32_SAFE // max(1, self.scoring.match))
+        if diag_path and self.pack and self._use_varlen:
+            # VARLEN dispatch: no length-ladder grouping.  References
+            # sorted by descending length are chunked only by the
+            # byte-packed window-table budget; the kernel runs each
+            # reference's true diagonal count (scalar-prefetched loop
+            # bounds), so a mixed flush is ONE dispatch per read tier
+            # with ~zero ref-length padding — the ladder's measured
+            # ~17% padded waste plus ~2.8 ms/dispatch fixed cost
+            # collapse to one.
+            packs = self._pack_chunks(reads, r_limit)
+            order = sorted(
+                range(len(ref_seqs)), key=lambda i: (-len(ref_seqs[i]), i)
+            )
+            for pack in packs:
+                m_pack = pack["m_pack"]
+                start = 0
+                while start < len(order):
+                    n_pad = _quantize_15(
+                        max(self.ref_bucket, len(ref_seqs[order[start]])),
+                        self.ref_bucket,
+                    )
+                    words_per_ref = max(1, (n_pad + m_pack) * m_pack // 4)
+                    c_block = max(1, _TABLE_BUDGET // words_per_ref)
+                    # One maximal chunk per table budget — splitting at
+                    # length-halving boundaries (smaller window DMA per
+                    # short-ref program) was measured WORSE: ~17 ms of
+                    # per-dispatch fixed cost per extra chunk vs ~1 ms
+                    # of window traffic saved.
+                    chunk = order[start : start + c_block]
+                    start += len(chunk)
+                    refs_enc = encode_batch(
+                        [ref_seqs[i] for i in chunk], n_pad, REF_PAD
+                    )
+                    lens = np.array(
+                        [len(ref_seqs[i]) for i in chunk], np.int32
+                    )
+                    total_cells += pack["read_bp"] * int(lens.sum())
+                    pending.append(
+                        (
+                            chunk,
+                            self._packed_col_sums_varlen(
+                                pack, refs_enc, lens
+                            ),
+                        )
+                    )
+            return pending, total_cells
         if diag_path and self.pack:
+            # Grouped (length-ladder) packed dispatch: the sharded
+            # backend's path (its _packed_col_sums runs on the mesh).
             packs = self._pack_chunks(reads, r_limit)
             for n_pad, ref_idx in sorted(ref_groups.items()):
                 for pack in packs:
@@ -398,6 +451,13 @@ class BatchBackend:
     # sharded backend; 8 is the Pallas grid divisor on one device.
     _pack_row_multiple = 8
 
+    # Single-device backends take the varlen dispatch (scalar-prefetched
+    # per-ref loop bounds, no length ladder); ShardedBackend disables it
+    # and keeps the grouped dispatch its mesh-sharded _packed_col_sums
+    # covers (inheriting the single-device varlen would silently compute
+    # off-mesh — the round-1 defect class).
+    _use_varlen = True
+
     @staticmethod
     def _pack_read_block(rows: int, m_pack: int) -> int:
         """Largest read_block (multiple of 8) dividing ``rows`` within
@@ -411,18 +471,41 @@ class BatchBackend:
 
     def _pack_chunks(self, reads: Sequence[str], r_limit: int) -> List[dict]:
         """Bin reads into packed kernel rows (``ops/packing``), split
-        into chunks whose total base pairs respect the int32 bound."""
+        into chunks whose total base pairs respect the int32 bound.
+
+        Memoized on the reads OBJECT (`is`-checked, so a mutated or
+        rebuilt list repacks): one pack per input file, not one per
+        (input file x ref-file flush)."""
         from sparksmithwaterman_tpu.ops.packing import pack_reads
 
-        max_len = max((len(r) for r in reads), default=1)
-        m_pack = max(2 * self.read_bucket, _quantize_15(max(1, max_len), 128))
-        packs: List[dict] = []
-        chunk_idx: List[int] = []
-        chunk_bp = 0
-        budget = max(m_pack, r_limit)  # sum of lens per dispatch
+        cached_obj, cached_limit, cached_packs = self._pack_cache
+        if cached_obj is reads and cached_limit == r_limit:
+            return cached_packs
 
-        def close():
-            nonlocal chunk_idx, chunk_bp
+        # Single tier: every read packs at one lane width sized by the
+        # longest read.  A dual-tier split (<=128bp reads at m=128 for
+        # the single-tile roll geometry) was measured WORSE on the
+        # mixed 80-150bp workload: removing the short reads from the
+        # wide rows destroys the bin-packing fill (129-150bp reads
+        # cannot pair within 256 lanes -> 1.92x lane waste vs 1.07x
+        # mixed), costing more than the faster geometry recovers.  The
+        # interleaved lane layout (ops/pallas_score) attacks the wide-
+        # row roll cost directly instead.
+        m_floor = max(2 * self.read_bucket, 128)
+        tiers: Dict[int, List[int]] = {}
+        for i, r in enumerate(reads):
+            m_tier = m_floor
+            while m_tier < len(r):
+                m_tier *= 2
+            tiers.setdefault(m_tier, []).append(i)
+        if len(tiers) > 1:
+            # collapse to the widest tier (see above)
+            m_top = max(tiers)
+            tiers = {m_top: sorted(i for t in tiers.values() for i in t)}
+
+        packs: List[dict] = []
+
+        def close(m_pack: int, chunk_idx: List[int]):
             if not chunk_idx:
                 return
             packed, start_idx = pack_reads(
@@ -442,15 +525,20 @@ class BatchBackend:
                     read_bp=sum(len(reads[i]) for i in chunk_idx),
                 )
             )
-            chunk_idx = []
-            chunk_bp = 0
 
-        for i in range(len(reads)):
-            if chunk_idx and chunk_bp + max(1, len(reads[i])) > budget:
-                close()
-            chunk_idx.append(i)
-            chunk_bp += max(1, len(reads[i]))
-        close()
+        for m_pack, tier_idx in sorted(tiers.items()):
+            budget = max(m_pack, r_limit)  # sum of lens per dispatch
+            chunk_idx: List[int] = []
+            chunk_bp = 0
+            for i in tier_idx:
+                if chunk_idx and chunk_bp + max(1, len(reads[i])) > budget:
+                    close(m_pack, chunk_idx)
+                    chunk_idx = []
+                    chunk_bp = 0
+                chunk_idx.append(i)
+                chunk_bp += max(1, len(reads[i]))
+            close(m_pack, chunk_idx)
+        self._pack_cache = (reads, r_limit, packs)
         return packs
 
     def _packed_col_sums(self, pack: dict, refs_enc: np.ndarray):
@@ -473,6 +561,38 @@ class BatchBackend:
             ("packed", rb, pack["m_pack"], refs_enc.shape[1]),
             lambda u: pallas_lane_best_packed(
                 pack["packed"], refs_enc, *self._params_static,
+                read_block=rb, unroll=u,
+            ),
+        )
+        return packed_col_sums(lane, pack["start_idx"])
+
+    def _packed_col_sums_varlen(
+        self, pack: dict, refs_enc: np.ndarray, lens: np.ndarray
+    ):
+        """(C_pad,) per-ref column sums for one packed read chunk vs a
+        MIXED-length ref chunk (one varlen dispatch; see
+        ``ops.pallas_score.pallas_lane_best_packed_varlen``)."""
+        from sparksmithwaterman_tpu.ops.packing import packed_col_sums
+        from sparksmithwaterman_tpu.ops.pallas_score import (
+            pallas_lane_best_packed_varlen,
+        )
+
+        c = refs_enc.shape[0]
+        c_pad = _quantize_15(max(c, 8), 8)
+        if c_pad != c:
+            # Padding refs cost ONE loop body each (lens=0 -> nb=1),
+            # so the ladder-quantized C keeps compile shapes few at
+            # ~zero device cost (unlike the table kernel, where a pad
+            # ref costs the full diagonal sweep).
+            refs_enc = _pad_rows(refs_enc, c_pad, REF_PAD)
+            lens = np.concatenate(
+                [lens, np.zeros(c_pad - c, np.int32)]
+            )
+        rb = self._pack_read_block(pack["rows"], pack["m_pack"])
+        lane = self._vmem_retry(
+            ("varlen", rb, pack["m_pack"], refs_enc.shape[1]),
+            lambda u: pallas_lane_best_packed_varlen(
+                pack["packed"], refs_enc, lens, *self._params_static,
                 read_block=rb, unroll=u,
             ),
         )

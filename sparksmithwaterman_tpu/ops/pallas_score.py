@@ -368,6 +368,532 @@ def plan_diag(read_block: int, m: int, n: int, unroll: int = 64):
     return u, t_pad
 
 
+def plan_carry(read_block: int, m: int, diags: int, unroll: int = 64):
+    """(unroll, num_bodies) for the CARRY-window kernels, or None.
+
+    The carry form holds no (T, M) window in VMEM — only the DP state
+    and a tiny (T/unroll, M) entrants block — so the unroll budget is
+    governed by the diagonal-chain state alone and stays at 64 for any
+    reference length (the whole-table form decays to unroll 8 by
+    n=4096 at m=256: the triple-buffered window eats 13.4 of 16 MB)."""
+    u = unroll & ~1
+    limit = _vmem_limit()
+    while u >= 2:
+        nb = -(-diags // u)
+        est = 4 * ((0.65 * u + 6) * read_block * m + 3 * nb * m)
+        if est <= limit:
+            return u, nb
+        u = u - 8 if u > 8 else (u // 2) & ~1
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("m", "unroll", "num_bodies"))
+def _entrants(refs_i, m: int, unroll: int, num_bodies: int):
+    """(C, N) int32 refs -> (C, NB, M) entrant rows for the carry
+    kernels: row t holds ref[unroll*t + k] at lane k (k < unroll),
+    REF_PAD (=1) past the reference end and at lanes >= unroll.
+
+    This replaces the O((M+N)·M) `_diag_windows` Toeplitz table with an
+    O(N) reshape: the kernel reconstructs each diagonal's substitution
+    column in registers by rolling the previous one and inserting one
+    entrant base per step.  Its own jit for the same layout reason as
+    `_diag_windows`."""
+    c, n = refs_i.shape
+    if unroll > m:
+        raise ValueError(f"unroll={unroll} must be <= m={m}")
+    t_total = num_bodies * unroll
+    padded = jnp.pad(
+        refs_i, ((0, 0), (0, t_total - n)), constant_values=jnp.int32(1)
+    )
+    ent = padded.reshape(c, num_bodies, unroll)
+    return jnp.pad(
+        ent, ((0, 0), (0, 0), (0, m - unroll)), constant_values=jnp.int32(1)
+    )
+
+
+def _carry_body(step, ent_ref, lane0_row, unroll):
+    """fori_loop body shared by the carry-window kernels.
+
+    Carry layout: (d1, r1, r2, best, refwin) — the wavefront state of
+    `_make_step` plus the carried (1, M) substitution column
+    refwin[i] = ref[d - i].  Advancing one diagonal is
+        refwin <- insert(ref[d+1] at lane 0, roll(refwin, 1))
+    — 3 single-sublane ops per step (two rolls + a select) against the
+    step's ~8 full-(RB, M) ops, i.e. ~1% overhead, in exchange for no
+    (T, M) window in VMEM at all."""
+
+    def body(t, carry):
+        d1, r1, r2, best, refwin = carry
+        er = ent_ref[0, pl.ds(t, 1), :]  # ONE sublane slice per body
+        bm = None
+        prev = None
+        for k in range(unroll):
+            refwin = jnp.where(
+                lane0_row, er, pltpu.roll(refwin, shift=1, axis=1)
+            )
+            er = pltpu.roll(er, shift=er.shape[-1] - 1, axis=1)
+            c1, rc = step(d1, r1, r2, refwin)
+            if prev is None:
+                prev = c1
+            else:
+                pair = jnp.maximum(prev, c1)
+                bm = pair if bm is None else jnp.maximum(bm, pair)
+                prev = None
+            d1, r2, r1 = c1, r1, rc
+        if prev is not None:
+            bm = prev if bm is None else jnp.maximum(bm, prev)
+        return d1, r1, r2, jnp.maximum(best, bm), refwin
+
+    return body
+
+
+def _diag_kernel_packed_carry(
+    reads_ref, ent_ref, out_ref, *, match, mismatch, gap, unroll, num_bodies
+):
+    """Carry-window variant of `_diag_kernel_packed`: same recurrence
+    and packed-segment semantics, the ref window carried in registers
+    instead of loaded from a (T, M) table (see `_entrants`)."""
+    rb, m = reads_ref.shape
+    dt = jnp.int32
+    raw = reads_ref[:]
+    reads_block = raw & (_START_BIT - 1)
+    startm = raw >= _START_BIT
+    step = _make_step(reads_block, startm, match, mismatch, gap, dt)
+    lane0_row = jax.lax.broadcasted_iota(jnp.int32, (1, m), dimension=1) == 0
+    body = _carry_body(step, ent_ref, lane0_row, unroll)
+    zeros = jnp.zeros((rb, m), dt)
+    pad_row = jnp.full((1, m), 1, dt)  # REF_PAD
+    _, _, _, best, _ = jax.lax.fori_loop(
+        0, num_bodies, body, (zeros, zeros, zeros, zeros, pad_row)
+    )
+    out_ref[0, :, :] = _segmented_suffix_max(best, startm)
+
+
+def _diag_kernel_carry(
+    reads_ref, ent_ref, out_ref, *, match, mismatch, gap, unroll, num_bodies
+):
+    """Carry-window variant of `_diag_kernel` (unpacked reads)."""
+    rb, m = reads_ref.shape
+    dt = jnp.int32
+    reads_block = reads_ref[:]
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (rb, m), dimension=1) == 0
+    step = _make_step(reads_block, lane0, match, mismatch, gap, dt)
+    lane0_row = jax.lax.broadcasted_iota(jnp.int32, (1, m), dimension=1) == 0
+    body = _carry_body(step, ent_ref, lane0_row, unroll)
+    zeros = jnp.zeros((rb, m), dt)
+    pad_row = jnp.full((1, m), 1, dt)  # REF_PAD
+    _, _, _, best, _ = jax.lax.fori_loop(
+        0, num_bodies, body, (zeros, zeros, zeros, zeros, pad_row)
+    )
+    out_ref[0, pl.program_id(1), :] = jnp.max(best, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "unroll", "num_bodies",
+        "diags", "packed", "interpret",
+    ),
+)
+def _carry_call(
+    reads_i, ents, *, match, mismatch, gap, read_block, unroll, num_bodies,
+    diags, packed, interpret,
+):
+    """pallas_call wrapper shared by the carry-window kernels.
+
+    Returns (C, ROWS, M) per-lane best for packed=True, else
+    (C, R/RB, RB) per-read best."""
+    rows, m = reads_i.shape
+    c = ents.shape[0]
+    n = diags - m + 1
+    grid = (c, rows // read_block)
+    kern = _diag_kernel_packed_carry if packed else _diag_kernel_carry
+    kernel = functools.partial(
+        kern,
+        match=match, mismatch=mismatch, gap=gap, unroll=unroll,
+        num_bodies=num_bodies,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((c, rows, m), jnp.int32)
+        if packed
+        else jax.ShapeDtypeStruct((c, rows // read_block, read_block), jnp.int32)
+    )
+    out_spec = (
+        pl.BlockSpec(
+            (1, read_block, m), lambda ci, ri: (ci, ri, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if packed
+        else pl.BlockSpec(
+            (1, rows // read_block, read_block), lambda ci, ri: (ci, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (read_block, m), lambda ci, ri: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, num_bodies, m), lambda ci, ri: (ci, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * m * c * n,
+            bytes_accessed=4 * (rows * m + c * num_bodies * m + c * rows * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(reads_i, ents)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "t4"))
+def _diag_windows_packed4(refs_i, m: int, t4: int):
+    """(C, N) int32 refs -> (C, T4, M) windows BYTE-PACKED 4 diagonals
+    per int32 word along T: word[c, t, i] packs win[c, 4t+k, i] (base
+    codes are <= 255) into byte k.
+
+    4x less VMEM than `_diag_windows` for the same diagonal span — the
+    triple-buffered whole-table window at m=256/n=4096 eats 13.4 of
+    16 MB and forces the unroll to 8; byte-packed it is 3.4 MB and the
+    unroll stays 64.  Unpacking costs a shift+mask on a (1, M) row per
+    diagonal, independent across steps (unlike the carry-window's
+    serial roll chain, measured 5-15% SLOWER than the table — these
+    extracts pipeline).  Own jit for the `_diag_windows` layout
+    reason."""
+    # Byte-pack the PADDED REF STREAM once (tiny), then build each
+    # window column from CONTIGUOUS word slices + shift/or.  Two
+    # rejected forms: (a) reshape (C, T4, 4, M) + unstack makes XLA
+    # materialize s32[C, T4, 4, 1] remat copies whose minor dim pads
+    # 128x (408 MB per temp at C=192 -> HBM OOM); (b) four stride-4 T
+    # slices of the full (C, 4*T4, M) table cost ~57 ms at the e2e
+    # flush shape (strided HBM reads).
+    c, n = refs_i.shape
+    l_total = (m - 1) + 4 * t4
+    w = -(-l_total // 4)
+    pad_byte = jnp.int32(1)  # REF_PAD
+    padded = jnp.pad(
+        refs_i, ((0, 0), (m - 1, 4 * w - n - (m - 1))),
+        constant_values=pad_byte,
+    ).astype(jnp.uint32)
+    parts = [
+        jax.lax.slice_in_dim(padded, k, 4 * w, stride=4, axis=1)
+        for k in range(4)
+    ]
+    p4 = parts[0] | (parts[1] << 8) | (parts[2] << 16) | (parts[3] << 24)
+    p4 = jnp.pad(
+        p4, ((0, 0), (0, 1)), constant_values=jnp.uint32(0x01010101)
+    )  # one spare word of REF_PAD bytes for the r>0 carry slice
+    cols = []
+    for i in range(m):
+        x = m - 1 - i  # byte offset of lane i's diagonal-0 base
+        r = x % 4
+        q0 = x // 4
+        a = jax.lax.slice_in_dim(p4, q0, q0 + t4, axis=1)
+        if r == 0:
+            col = a
+        else:
+            b = jax.lax.slice_in_dim(p4, q0 + 1, q0 + 1 + t4, axis=1)
+            col = (a >> (8 * r)) | (b << (32 - 8 * r))
+        cols.append(col)
+    return jnp.stack(cols, axis=2).astype(jnp.int32)  # (C, T4, M)
+
+
+def plan_varlen(read_block: int, m: int, n_max: int, unroll: int = 64):
+    """(unroll, t4) for the varlen packed kernel, or None.
+
+    t4 counts byte-packed window rows; the scoped-VMEM budget uses the
+    packed (4x smaller) window, so unroll=64 holds to far longer
+    references than `plan_diag` (v5e: n=4096/m=256 plans u=8 whole vs
+    u=64 here)."""
+    u = min(unroll, m) & ~7
+    while u >= 8:
+        nb = -(-(m + n_max - 1) // u)
+        t4 = -(-(nb * u) // 4)
+        t4 = -(-t4 // 8) * 8
+        if 4 * ((0.65 * u + 4) * read_block * m + 3 * t4 * m) <= _vmem_limit():
+            return u, t4
+        u -= 8
+    return None
+
+
+def _ilv_lanes(arr):
+    """Interleave the last (lane) dim for the H-tile layout: logical
+    lane i = l*H + h  ->  physical lane h*128 + l  (H = m // 128).
+
+    In this layout the wavefront's logical shift-by-1 becomes a tile
+    PERMUTE (free — register renaming) plus ONE single-tile lane roll,
+    instead of a roll across H lane tiles: on v5e the m=256 two-tile
+    roll costs the kernel ~20% of its step rate (354 padded GCUPS at
+    m=128 vs 275 at m=256, same rb*m)."""
+    m = arr.shape[-1]
+    h = m // 128
+    if h <= 1:
+        return arr
+    lead = arr.shape[:-1]
+    return (
+        arr.reshape(*lead, 128, h)
+        .swapaxes(-1, -2)
+        .reshape(*lead, m)
+    )
+
+
+def _deilv_lanes(arr):
+    """Inverse of `_ilv_lanes`."""
+    m = arr.shape[-1]
+    h = m // 128
+    if h <= 1:
+        return arr
+    lead = arr.shape[:-1]
+    return (
+        arr.reshape(*lead, h, 128)
+        .swapaxes(-1, -2)
+        .reshape(*lead, m)
+    )
+
+
+_ilv_jit = jax.jit(_ilv_lanes)
+_deilv_jit = jax.jit(_deilv_lanes)
+
+
+def _ilv_tiles(x, h):
+    return [x[:, j * 128 : (j + 1) * 128] for j in range(h)]
+
+
+def _make_ilv_shift1(h):
+    """Logical i-1 shift in the interleaved layout (lane 0 garbage —
+    callers mask it, same contract as the plain roll)."""
+
+    def shift1(x):
+        ts = _ilv_tiles(x, h)
+        first = pltpu.roll(ts[h - 1], shift=1, axis=1)
+        return jnp.concatenate([first] + ts[: h - 1], axis=1)
+
+    return shift1
+
+
+def _ilv_logical_col(shape, h):
+    """(..., M) LOGICAL lane index at each physical position of the
+    interleaved layout: phys = hh*128 + l  ->  logical l*h + hh."""
+    phys = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=len(shape) - 1)
+    return (phys % 128) * h + phys // 128
+
+
+def _make_ilv_shift_left(h, col_log):
+    """Logical left-shift-by-s with fill, interleaved layout.
+
+    s a multiple of H: every tile rolls left by s/H (single-tile).
+    s < H (only 1..H-1 from the power-of-two ladder): tile permute with
+    the wrapped tiles advanced one lane."""
+
+    def shift_left(x, s, fill):
+        m = x.shape[-1]
+        ts = _ilv_tiles(x, h)
+        if s % h == 0:
+            k = s // h
+            parts = [pltpu.roll(t, shift=128 - k, axis=1) for t in ts]
+        else:
+            parts = []
+            for j in range(h):
+                src = ts[(j + s) % h]
+                if j + s >= h:
+                    src = pltpu.roll(src, shift=127, axis=1)
+                parts.append(src)
+        rolled = jnp.concatenate(parts, axis=1)
+        return jnp.where(col_log < m - s, rolled, fill)
+
+    return shift_left
+
+
+def _plain_shift_left(x, s, fill):
+    return _shift_left_fill(x, s, fill)
+
+
+def _diag_kernel_packed_varlen(
+    nb_ref, reads_ref, win_ref, out_ref, *, match, mismatch, gap, unroll,
+    interleaved,
+):
+    """Varlen packed wavefront: per-REFERENCE loop bounds via scalar
+    prefetch + byte-packed window.
+
+    Each grid program runs only ceil((m + n_c - 1)/unroll) bodies for
+    ITS reference (`nb_ref`, prefetched to SMEM) — short references in
+    a mixed batch cost their true diagonal count, not the longest
+    reference's, so the backend needs NO length-ladder grouping: one
+    dispatch scores every reference of an input flush and the ladder's
+    ~17% padded-FLOP waste disappears (the reference's analogue is one
+    Spark job per DIAGONAL, `src/sw/DistributedSW.java:192-245`).
+
+    With ``interleaved`` the inputs (reads, window) arrive in the
+    `_ilv_lanes` layout and the output stays in it (the wrapper
+    de-interleaves): every lane roll in the hot loop is single-tile."""
+    rb, m = reads_ref.shape
+    dt = jnp.int32
+    raw = reads_ref[:]
+    reads_block = raw & (_START_BIT - 1)
+    startm = raw >= _START_BIT
+    h = m // 128
+    if interleaved and h > 1:
+        shift1 = _make_ilv_shift1(h)
+        col_log = _ilv_logical_col((rb, m), h)
+        shift_left = _make_ilv_shift_left(h, col_log)
+    else:
+        shift1 = None
+        shift_left = _plain_shift_left
+    step = _make_step(
+        reads_block, startm, match, mismatch, gap, dt, shift1=shift1
+    )
+    words = unroll // 4
+
+    def body(t, carry):
+        d1, r1, r2, best = carry
+        base = words * t
+        bm = None
+        prev = None
+        w = None
+        for k in range(unroll):
+            if k % 4 == 0:
+                w = win_ref[0, pl.ds(base + k // 4, 1), :]  # (1, M) word row
+                refwin = w & 255
+            else:
+                refwin = (w >> (8 * (k % 4))) & 255
+            c1, rc = step(d1, r1, r2, refwin)
+            if prev is None:
+                prev = c1
+            else:
+                pair = jnp.maximum(prev, c1)
+                bm = pair if bm is None else jnp.maximum(bm, pair)
+                prev = None
+            d1, r2, r1 = c1, r1, rc
+        if prev is not None:
+            bm = prev if bm is None else jnp.maximum(bm, prev)
+        return d1, r1, r2, jnp.maximum(best, bm)
+
+    nb = nb_ref[pl.program_id(0)]
+    zeros = jnp.zeros((rb, m), dt)
+    _, _, _, best = jax.lax.fori_loop(
+        0, nb, body, (zeros, zeros, zeros, zeros)
+    )
+    out_ref[0, :, :] = _segmented_suffix_max(
+        best, startm, shift_left=shift_left
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "unroll", "interleaved",
+        "interpret",
+    ),
+)
+def _varlen_call(
+    nb, packed, win4, *, match, mismatch, gap, read_block, unroll,
+    interleaved, interpret,
+):
+    rows, m = packed.shape
+    c, t4, _ = win4.shape
+    grid = (c, rows // read_block)
+    kernel = functools.partial(
+        _diag_kernel_packed_varlen,
+        match=match, mismatch=mismatch, gap=gap, unroll=unroll,
+        interleaved=interleaved,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (read_block, m), lambda ci, ri, nb_ref: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t4, m), lambda ci, ri, nb_ref: (ci, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, read_block, m), lambda ci, ri, nb_ref: (ci, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, rows, m), jnp.int32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * m * c * 4 * t4,
+            bytes_accessed=4 * (rows * m + c * t4 * m + c * rows * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nb, packed, win4)
+
+
+def pallas_lane_best_packed_varlen(
+    packed,
+    refs,
+    lens,
+    match,
+    mismatch,
+    gap,
+    *,
+    read_block: int = 8,
+    unroll: int = 64,
+    interpret: bool = False,
+):
+    """(C, ROWS, M) per-lane maxima for packed read rows vs MIXED-length
+    references in ONE dispatch.
+
+    Same output contract as :func:`pallas_lane_best_packed`; `refs` is
+    (C, N_max) padded with REF_PAD and `lens` the true lengths.  Each
+    reference's wavefront stops after its own diagonal count (scalar-
+    prefetched loop bounds) and the window is byte-packed, so a mixed
+    batch needs no length grouping and pays no length-ladder padding.
+    """
+    rows, m = packed.shape
+    c, n_max = refs.shape
+    if rows % read_block != 0:
+        raise ValueError(
+            f"ROWS={rows} must be a multiple of read_block={read_block}"
+        )
+    match, mismatch, gap = int(match), int(mismatch), int(gap)
+    plan = plan_varlen(read_block, m, n_max, unroll)
+    if plan is None:
+        raise ValueError(
+            f"varlen packed kernel cannot fit VMEM at "
+            f"read_block={read_block}, m={m}, n_max={n_max}"
+        )
+    u, t4 = plan
+    lens = jnp.asarray(lens, jnp.int32)
+    nb = -(-(m + jnp.maximum(lens, 1) - 1) // u)
+    ilv = m // 128 > 1
+    win4 = _diag_windows_packed4(jnp.asarray(refs).astype(jnp.int32), m, t4)
+    packed_i = jnp.asarray(packed, jnp.int32)
+    if ilv:
+        # Interleave/de-interleave run as their own jits: fusing the
+        # lane transpose into the window-build or kernel jit sends the
+        # XLA compile helper into multi-minute/hung compiles at
+        # (C=72, T4=1088, M=256)-class shapes; standalone they compile
+        # in ~1 min once and cost one extra HBM pass (~1 ms).
+        win4 = _ilv_jit(win4)
+        packed_i = _ilv_jit(packed_i)
+    out = _varlen_call(
+        nb, packed_i, win4,
+        match=match, mismatch=mismatch, gap=gap,
+        read_block=read_block, unroll=u, interleaved=ilv,
+        interpret=interpret,
+    )
+    # Back to logical lane order so read_best / packed_col_sums gather
+    # with logical flat indices unchanged.
+    return _deilv_jit(out) if ilv else out
+
+
 def _plan_chunk(
     read_block: int, m: int, chunk: int, unroll: int, extra_regs: int
 ):
@@ -434,6 +960,7 @@ def pallas_score_grid_diag(
     interpret: bool = False,
     state_dtype: str = "auto",
     unroll: int = 64,
+    window_mode: str = "auto",
 ):
     """Max SW score for every (read, ref) pair via the wavefront kernel.
 
@@ -465,6 +992,25 @@ def pallas_score_grid_diag(
     if unroll < 2 or unroll % 2 != 0:
         raise ValueError(f"unroll={unroll} must be an even integer >= 2")
     diags = m + n - 1
+    if window_mode == "carry" and state_dtype == "int32":
+        # Explicit mode only (measured slower than the table form; see
+        # pallas_lane_best_packed).
+        cplan = plan_carry(read_block, m, diags, unroll)
+        if cplan is None:
+            raise ValueError(
+                f"carry-window diag kernel cannot fit VMEM at "
+                f"read_block={read_block}, m={m}"
+            )
+        if cplan is not None:
+            u, nb = cplan
+            ents = _entrants(jnp.asarray(refs).astype(jnp.int32), m, u, nb)
+            out = _carry_call(
+                jnp.asarray(reads).astype(jnp.int32), ents,
+                match=match, mismatch=mismatch, gap=gap,
+                read_block=read_block, unroll=u, num_bodies=nb,
+                diags=diags, packed=False, interpret=interpret,
+            )
+            return out.reshape(c, r).T  # (R, C)
     # Sublane-align the table AND guarantee spare PAD rows for the
     # kernel's unroll-diagonals-per-step overshoot.
     plan = plan_diag(read_block, m, n, unroll)
@@ -552,9 +1098,13 @@ def _shift_left_fill(x, shift, fill):
     return jnp.where(col < n - shift, rolled, fill)
 
 
-def _segmented_suffix_max(x, startm):
+def _segmented_suffix_max(x, startm, shift_left=None):
     """Per-lane suffix max WITHIN segments: lane i becomes
     max(x[i .. end-of-segment)), segments delimited by ``startm``.
+
+    ``shift_left(x, s, fill)`` overrides the lane-shift primitive (the
+    interleaved layout substitutes `_make_ilv_shift_left`; the doubling
+    algorithm only needs LOGICAL adjacency, so it is layout-agnostic).
 
     Log-doubling with a blocked-mask carry: b_s[i] = "a segment start
     lies in lanes (i, i+s]"; the doubling step takes from lane i+s only
@@ -564,16 +1114,18 @@ def _segmented_suffix_max(x, startm):
     epilogues measured as the packed path's dominant non-kernel cost).
     """
     m = x.shape[-1]
+    if shift_left is None:
+        shift_left = _plain_shift_left
     # The blocked mask is carried as int32, not i1: Mosaic cannot rotate
     # non-32-bit vectors ("tpu.dynamic_rotate ... vector<...xi1>").
     one = jnp.asarray(1, jnp.int32)
-    blocked = _shift_left_fill(startm.astype(jnp.int32), 1, one)
+    blocked = shift_left(startm.astype(jnp.int32), 1, one)
     shift = 1
     while shift < m:
-        cand = _shift_left_fill(x, shift, jnp.asarray(0, x.dtype))
+        cand = shift_left(x, shift, jnp.asarray(0, x.dtype))
         x = jnp.where(blocked > 0, x, jnp.maximum(x, cand))
         if 2 * shift < m:
-            blocked = blocked | _shift_left_fill(blocked, shift, one)
+            blocked = blocked | shift_left(blocked, shift, one)
         shift *= 2
     return x
 
@@ -852,6 +1404,26 @@ def pallas_lane_best_packed(
         )
     match, mismatch, gap = int(match), int(mismatch), int(gap)
     diags = m + n - 1
+    if mode == "carry":
+        # Explicit mode only: measured 5-15% SLOWER than the table form
+        # on v5e at every e2e shape (the carried refwin roll is a serial
+        # chain the table's per-step slice doesn't have) — kept as the
+        # measured record; see docs/kernels.md.
+        plan = plan_carry(read_block, m, diags, unroll)
+        if plan is None:
+            raise ValueError(
+                f"carry-window packed kernel cannot fit VMEM at "
+                f"read_block={read_block}, m={m}"
+            )
+        if plan is not None:
+            u, nb = plan
+            ents = _entrants(jnp.asarray(refs).astype(jnp.int32), m, u, nb)
+            return _carry_call(
+                jnp.asarray(packed, jnp.int32), ents,
+                match=match, mismatch=mismatch, gap=gap,
+                read_block=read_block, unroll=u, num_bodies=nb,
+                diags=diags, packed=True, interpret=interpret,
+            )
     if mode == "stream":
         # Manual double-buffered DMA (~1MB window VMEM at any ref
         # length, unroll budget governed by state alone).  Measured on
@@ -1012,23 +1584,28 @@ def _lane_best_chunked_call(
     return out  # (C, ROWS, M)
 
 
-def _make_step(reads_block, lane0, match, mismatch, gap, dt):
+def _make_step(reads_block, lane0, match, mismatch, gap, dt, shift1=None):
     """Shared wavefront recurrence step (see ``_diag_kernel``).
 
     Carries (d1, r1, r2) = (D_{d-1}, rm(D_{d-1}), rm(D_{d-2})) where
     rm(x) = lane shift of x with lane 0 zeroed — the pre-shifted form is
     consumed by the next TWO diagonals, so each diagonal pays one roll.
+
+    ``shift1`` overrides the i-1 lane shift (the interleaved layout
+    passes `_make_ilv_shift1`, whose only roll is single-tile).
     """
     match_c = jnp.asarray(match, dt)
     mismatch_c = jnp.asarray(mismatch, dt)
     gap_c = jnp.asarray(gap, dt)
     zero_c = jnp.asarray(0, dt)
+    if shift1 is None:
+        shift1 = lambda x: pltpu.roll(x, shift=1, axis=1)  # noqa: E731
 
     def step(d1, r1, r2, refwin):
         sub = jnp.where(reads_block == refwin.astype(dt), match_c, mismatch_c)
         gterm = jnp.maximum(r1, d1) + gap_c
         c1 = jnp.maximum(jnp.maximum(r2 + sub, gterm), zero_c)
-        rc = jnp.where(lane0, zero_c, pltpu.roll(c1, shift=1, axis=1))
+        rc = jnp.where(lane0, zero_c, shift1(c1))
         return c1, rc
 
     return step

@@ -408,6 +408,9 @@ class ShardedBackend(BatchBackend):
         # Packed rows must shard evenly over the reads axis with every
         # shard's row count a multiple of 8 (Pallas grid divisor).
         self._pack_row_multiple = 8 * self._dr
+        # Grouped dispatch only: the varlen path has no sharded
+        # implementation yet (see BatchBackend._use_varlen).
+        self._use_varlen = False
 
     def _shard_pad(self, reads_enc: np.ndarray, refs_enc: np.ndarray):
         """Pad both batch axes to mesh-divisible quantized row counts.

@@ -190,10 +190,15 @@ def test_packed_totals_matches_unpacked(monkeypatch, make_seq):
     from sparksmithwaterman_tpu.ops import pallas_score as ps
 
     real = ps.pallas_lane_best_packed
+    real_varlen = ps.pallas_lane_best_packed_varlen
 
     def fake(*a, **k):
         k["interpret"] = True
         return real(*a, **k)
+
+    def fake_varlen(*a, **k):
+        k["interpret"] = True
+        return real_varlen(*a, **k)
 
     monkeypatch.setattr(bb, "pallas_score_grid_diag", None)  # must not be hit
     import sparksmithwaterman_tpu.ops.packing  # noqa: F401  (import check)
@@ -210,6 +215,10 @@ def test_packed_totals_matches_unpacked(monkeypatch, make_seq):
     be2.use_pallas = True  # force the diag+packed branch
     monkeypatch.setattr(
         "sparksmithwaterman_tpu.ops.pallas_score.pallas_lane_best_packed", fake
+    )
+    monkeypatch.setattr(
+        "sparksmithwaterman_tpu.ops.pallas_score.pallas_lane_best_packed_varlen",
+        fake_varlen,
     )
     got = be2.totals(reads, refs)
     np.testing.assert_array_equal(got, want)
