@@ -577,6 +577,14 @@ class BatchBackend:
             pallas_lane_best_packed_varlen,
         )
 
+        from sparksmithwaterman_tpu.ops.pallas_score import plan_varlen
+
+        rb_probe = self._pack_read_block(pack["rows"], pack["m_pack"])
+        if plan_varlen(rb_probe, pack["m_pack"], refs_enc.shape[1]) is None:
+            # Giant-read corner: no varlen config fits scoped VMEM
+            # (e.g. m_pack >= 8k lanes).  The grouped kernel's chunked
+            # window form still works — correctness over speed.
+            return self._packed_col_sums(pack, refs_enc)
         c = refs_enc.shape[0]
         c_pad = _quantize_15(max(c, 8), 8)
         if c_pad != c:

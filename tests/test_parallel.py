@@ -200,19 +200,19 @@ def test_sharded_packed_call_interpret(make_seq):
 
 
 def test_sharded_backend_packed_routes_to_mesh(make_seq, monkeypatch, tmp_path):
-    """With packing forced on, ShardedBackend must dispatch through
-    _sharded_packed_call (NOT the single-device packed path)."""
+    """With packing forced on, ShardedBackend must dispatch through the
+    mesh-sharded varlen call (NOT the single-device packed path)."""
     from sparksmithwaterman_tpu.parallel import engine
 
     calls = {"n": 0}
-    real = engine._sharded_packed_call
+    real = engine._sharded_varlen_call
 
     def spy(*a, **k):
         calls["n"] += 1
         k["interpret"] = True
         return real(*a, **k)
 
-    monkeypatch.setattr(engine, "_sharded_packed_call", spy)
+    monkeypatch.setattr(engine, "_sharded_varlen_call", spy)
     config = AlignConfig(
         ref_dir=str(tmp_path), in_dir=str(tmp_path), out_dir=str(tmp_path),
         strategy="shard_refs", read_bucket=16, ref_bucket=32,
