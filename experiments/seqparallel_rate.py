@@ -22,8 +22,10 @@ from sparksmithwaterman_tpu.parallel.seqparallel import SeqParallelBackend
 
 _BASES = np.array(list("ACGT"))
 rng = np.random.default_rng(1)
-reads = ["".join(rng.choice(_BASES, size=int(l))) for l in rng.integers(80, 151, size=64)]
-refs = ["".join(rng.choice(_BASES, size=int(l))) for l in rng.integers(3000, 4001, size=16)]
+n_reads = int(os.environ.get("SEQ_READS", 16))
+n_refs = int(os.environ.get("SEQ_REFS", 8))
+reads = ["".join(rng.choice(_BASES, size=128)) for _ in range(n_reads)]
+refs = ["".join(rng.choice(_BASES, size=3072)) for _ in range(n_refs)]
 real_cells = sum(map(len, reads)) * sum(map(len, refs))
 
 be = SeqParallelBackend(

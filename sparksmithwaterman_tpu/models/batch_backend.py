@@ -601,10 +601,23 @@ class BatchBackend:
             ("varlen", rb, pack["m_pack"], refs_enc.shape[1]),
             lambda u: pallas_lane_best_packed_varlen(
                 pack["packed"], refs_enc, lens, *self._params_static,
-                read_block=rb, unroll=u,
+                read_block=rb, unroll=u, deinterleave=False,
             ),
         )
-        return packed_col_sums(lane, pack["start_idx"])
+        # Gather with PHYSICAL indices instead of de-interleaving the
+        # (C, ROWS, M) output — the transpose's bytes scale with C
+        # (measured ~50 ms at C=576 on the equal-work scan).
+        if "start_phys" not in pack:
+            from sparksmithwaterman_tpu.ops.pallas_score import (
+                varlen_start_phys,
+            )
+
+            pack["start_phys"] = jax.device_put(
+                varlen_start_phys(
+                    np.asarray(pack["start_idx"]), pack["m_pack"]
+                )
+            )
+        return packed_col_sums(lane, pack["start_phys"])
 
     # -- traceback path ----------------------------------------------------
 

@@ -846,6 +846,7 @@ def pallas_lane_best_packed_varlen(
     read_block: int = 8,
     unroll: int = 64,
     interpret: bool = False,
+    deinterleave: bool = True,
 ):
     """(C, ROWS, M) per-lane maxima for packed read rows vs MIXED-length
     references in ONE dispatch.
@@ -855,6 +856,13 @@ def pallas_lane_best_packed_varlen(
     reference's wavefront stops after its own diagonal count (scalar-
     prefetched loop bounds) and the window is byte-packed, so a mixed
     batch needs no length grouping and pays no length-ladder padding.
+
+    ``deinterleave=False`` returns the (C, ROWS, M) output in the RAW
+    `_ilv_lanes` physical layout when m > 128: the de-interleave
+    transpose costs ~0.25 ms per 10 MB of output (its bytes scale with
+    C), while a caller that only gathers start lanes can instead map
+    its indices to the physical layout for free (see
+    `varlen_start_phys`) — the hot-path backends do exactly that.
     """
     rows, m = packed.shape
     c, n_max = refs.shape
@@ -891,7 +899,18 @@ def pallas_lane_best_packed_varlen(
     )
     # Back to logical lane order so read_best / packed_col_sums gather
     # with logical flat indices unchanged.
-    return _deilv_jit(out) if ilv else out
+    return _deilv_jit(out) if (ilv and deinterleave) else out
+
+
+def varlen_start_phys(start_idx, m: int):
+    """Map flat logical start indices (row*m + lane) to the varlen
+    kernel's physical (interleaved) layout — the free alternative to
+    ``deinterleave=True`` for gather-only consumers."""
+    h = m // 128
+    if h <= 1:
+        return np.asarray(start_idx)
+    row, lane = np.divmod(np.asarray(start_idx), m)
+    return row * m + (lane % h) * 128 + lane // h
 
 
 def _plan_chunk(

@@ -570,6 +570,7 @@ class ShardedBackend(BatchBackend):
             _diag_windows_packed4,
             _ilv_jit,
             plan_varlen,
+            varlen_start_phys,
         )
 
         m_pack = pack["m_pack"]
@@ -606,9 +607,7 @@ class ShardedBackend(BatchBackend):
             packed_sharded = _ilv_jit(packed_sharded)
             # Map the gather indices to the interleaved layout instead
             # of de-interleaving the kernel output on device.
-            h = m_pack // 128
-            row, lane = np.divmod(si, m_pack)
-            si = row * m_pack + (lane % h) * 128 + lane // h
+            si = varlen_start_phys(si, m_pack)
         nb_sharded = jax.device_put(
             nb, NamedSharding(self.mesh, P("refs"))
         )
