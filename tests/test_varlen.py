@@ -110,6 +110,33 @@ def test_plan_varlen_keeps_unroll_at_long_refs():
     assert plan_varlen(8, 8192, 200_000, 64) is None or True
 
 
+def test_varlen_plan_failure_falls_back_to_grouped(monkeypatch):
+    """When no varlen config fits scoped VMEM (giant-read shapes), the
+    backend degrades to the grouped chunked-window dispatch instead of
+    raising."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models import batch_backend as bb
+
+    be = bb.BatchBackend(AlignConfig(ref_dir=".", in_dir=".", out_dir="."))
+    called = {"grouped": 0}
+
+    def fake_grouped(pack, refs_enc):
+        called["grouped"] += 1
+        return np.zeros(refs_enc.shape[0], np.int32)
+
+    monkeypatch.setattr(be, "_packed_col_sums", fake_grouped)
+    monkeypatch.setattr(
+        "sparksmithwaterman_tpu.ops.pallas_score.plan_varlen",
+        lambda *a, **k: None,
+    )
+    pack = dict(rows=8, m_pack=128, packed=None, start_idx=None)
+    out = be._packed_col_sums_varlen(
+        pack, np.full((3, 64), 1, np.uint8), np.array([64, 64, 64], np.int32)
+    )
+    assert called["grouped"] == 1
+    assert out.shape == (3,)
+
+
 def test_varlen_empty_and_zero_len_refs():
     rng = np.random.default_rng(5)
     reads = _rand_seqs(rng, [20, 40])
