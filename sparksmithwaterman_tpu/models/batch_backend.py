@@ -508,9 +508,29 @@ class BatchBackend:
         def close(m_pack: int, chunk_idx: List[int]):
             if not chunk_idx:
                 return
+            # Round the row multiple up toward the kernel's preferred
+            # read block so big packs land on a divisible row count
+            # (47880 rows from a 100K-read pack would otherwise force
+            # read_block down to an awkward divisor); all-pad rows
+            # score exactly 0.
+            from sparksmithwaterman_tpu.ops.pallas_score import (
+                diag_read_block,
+            )
+
+            est_rows = max(
+                1, sum(max(1, len(reads[i])) for i in chunk_idx) // m_pack
+            )
+            rb_t = diag_read_block(
+                -(-est_rows // 8) * 8, m_pack
+            )
+            row_multiple = self._pack_row_multiple
+            if est_rows >= rb_t > row_multiple:
+                row_multiple = int(
+                    rb_t * row_multiple // np.gcd(rb_t, row_multiple)
+                )
             packed, start_idx = pack_reads(
                 [reads[i] for i in chunk_idx], m_pack,
-                row_multiple=self._pack_row_multiple,
+                row_multiple=row_multiple,
             )
             # Upload once; every ref-group dispatch reuses the device
             # array (a fresh numpy arg would re-upload per dispatch —

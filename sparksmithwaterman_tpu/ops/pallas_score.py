@@ -347,6 +347,12 @@ def diag_read_block(r_pad: int, m_pad: int) -> int:
     rb = r_pad
     while rb > 8 and rb * m_pad > 65536 and (rb // 2) % 8 == 0:
         rb //= 2
+    if rb * m_pad > 65536:
+        # Halving stalled on a non-power-of-two row count (e.g. 47880
+        # rows from a 100K-read pack): fall to the largest multiple of
+        # 8 under the cap; callers reconcile divisibility (pad rows or
+        # shrink further).
+        rb = max(8, (65536 // max(1, m_pad)) & ~7)
     return rb
 
 
