@@ -160,16 +160,25 @@ class BatchBackend:
         # scoped-VMEM RESOURCE_EXHAUSTED (the VMEM model mispredicted);
         # see _vmem_retry.  VERDICT r2 task 5.
         self._unroll_override: Dict[tuple, int] = {}
-        # Pack cache for the LAST reads batch (identity-checked): the
-        # pipeline calls totals/best_of once per ref-file flush with the
-        # SAME reads list for a whole input file, and first-fit packing
-        # 100K reads in Python per flush would dominate host time.
-        self._pack_cache: Tuple[object, int, List[dict]] = (None, 0, [])
+        # Pack cache for the LAST reads batch (identity+len-checked):
+        # the pipeline calls totals/best_of once per ref-file flush with
+        # the SAME reads list for a whole input file, and first-fit
+        # packing 100K reads in Python per flush would dominate host
+        # time.
+        self._pack_cache: Tuple[object, int, int, List[dict]] = (
+            None, -1, 0, []
+        )
 
     @staticmethod
     def _is_vmem_oom(e: Exception) -> bool:
+        """True only for Mosaic SCOPED-VMEM exhaustion ("Ran out of
+        memory in memory space vmem") — the one failure a smaller
+        unroll can fix.  A generic RESOURCE_EXHAUSTED (e.g. HBM OOM
+        while allocating a device buffer) must propagate immediately:
+        halving the unroll cannot shrink HBM outputs, and the retry
+        ladder would just burn compile cycles before re-raising."""
         s = str(e)
-        return "RESOURCE_EXHAUSTED" in s or "vmem" in s.lower()
+        return "RESOURCE_EXHAUSTED" in s and "vmem" in s.lower()
 
     def _vmem_retry(self, key: tuple, fn):
         """Run ``fn(unroll)``, halving the unroll on a Mosaic scoped-VMEM
@@ -451,11 +460,12 @@ class BatchBackend:
     # sharded backend; 8 is the Pallas grid divisor on one device.
     _pack_row_multiple = 8
 
-    # Single-device backends take the varlen dispatch (scalar-prefetched
-    # per-ref loop bounds, no length ladder); ShardedBackend disables it
-    # and keeps the grouped dispatch its mesh-sharded _packed_col_sums
-    # covers (inheriting the single-device varlen would silently compute
-    # off-mesh — the round-1 defect class).
+    # Every backend takes the varlen dispatch (scalar-prefetched
+    # per-ref loop bounds, no length ladder): ShardedBackend inherits
+    # _use_varlen=True and overrides _packed_col_sums_varlen with its
+    # mesh-sharded form (parallel/engine.py), so the round-3 hot path
+    # runs ON the mesh there — do not "fix" this flag off for the
+    # sharded backend; that would silently drop its hot path.
     _use_varlen = True
 
     @staticmethod
@@ -473,13 +483,21 @@ class BatchBackend:
         """Bin reads into packed kernel rows (``ops/packing``), split
         into chunks whose total base pairs respect the int32 bound.
 
-        Memoized on the reads OBJECT (`is`-checked, so a mutated or
-        rebuilt list repacks): one pack per input file, not one per
-        (input file x ref-file flush)."""
+        Memoized on the reads OBJECT (`is`-checked): one pack per input
+        file, not one per (input file x ref-file flush).  A REBUILT
+        list repacks; in-place mutation of the same list would NOT be
+        seen by the identity check alone, so the key also carries
+        len(reads) as a cheap tripwire — callers must still treat a
+        reads list as frozen once dispatched (the pipeline builds a
+        fresh list per input file)."""
         from sparksmithwaterman_tpu.ops.packing import pack_reads
 
-        cached_obj, cached_limit, cached_packs = self._pack_cache
-        if cached_obj is reads and cached_limit == r_limit:
+        cached_obj, cached_len, cached_limit, cached_packs = self._pack_cache
+        if (
+            cached_obj is reads
+            and cached_len == len(reads)
+            and cached_limit == r_limit
+        ):
             return cached_packs
 
         # Single tier: every read packs at one lane width sized by the
@@ -558,7 +576,7 @@ class BatchBackend:
                 chunk_idx.append(i)
                 chunk_bp += max(1, len(reads[i]))
             close(m_pack, chunk_idx)
-        self._pack_cache = (reads, r_limit, packs)
+        self._pack_cache = (reads, len(reads), r_limit, packs)
         return packs
 
     def _packed_col_sums(self, pack: dict, refs_enc: np.ndarray):
@@ -608,10 +626,11 @@ class BatchBackend:
         c = refs_enc.shape[0]
         c_pad = _quantize_15(max(c, 8), 8)
         if c_pad != c:
-            # Padding refs cost ONE loop body each (lens=0 -> nb=1),
-            # so the ladder-quantized C keeps compile shapes few at
-            # ~zero device cost (unlike the table kernel, where a pad
-            # ref costs the full diagonal sweep).
+            # Padding refs cost ONE loop body each (the varlen wrapper
+            # pins nb=1 for lens==0 — all-REF_PAD windows score 0), so
+            # the ladder-quantized C keeps compile shapes few at ~zero
+            # device cost (unlike the table kernel, where a pad ref
+            # costs the full diagonal sweep).
             refs_enc = _pad_rows(refs_enc, c_pad, REF_PAD)
             lens = np.concatenate(
                 [lens, np.zeros(c_pad - c, np.int32)]

@@ -350,9 +350,13 @@ def diag_read_block(r_pad: int, m_pad: int) -> int:
     if rb * m_pad > 65536:
         # Halving stalled on a non-power-of-two row count (e.g. 47880
         # rows from a 100K-read pack): fall to the largest multiple of
-        # 8 under the cap; callers reconcile divisibility (pad rows or
-        # shrink further).
+        # 8 under the cap, then step down until it DIVIDES r_pad — the
+        # kernels raise on r_pad % read_block != 0 and two of the three
+        # callers pass rb straight through (e.g. r_pad=24 with a giant
+        # m_pad would otherwise get the non-divisor 16).
         rb = max(8, (65536 // max(1, m_pad)) & ~7)
+        while rb > 8 and r_pad % rb:
+            rb -= 8
     return rb
 
 
@@ -639,6 +643,8 @@ def _ilv_lanes(arr):
     roll costs the kernel ~20% of its step rate (354 padded GCUPS at
     m=128 vs 275 at m=256, same rb*m)."""
     m = arr.shape[-1]
+    if m % 128:
+        raise ValueError(f"interleave needs m % 128 == 0, got m={m}")
     h = m // 128
     if h <= 1:
         return arr
@@ -653,6 +659,8 @@ def _ilv_lanes(arr):
 def _deilv_lanes(arr):
     """Inverse of `_ilv_lanes`."""
     m = arr.shape[-1]
+    if m % 128:
+        raise ValueError(f"interleave needs m % 128 == 0, got m={m}")
     h = m // 128
     if h <= 1:
         return arr
@@ -694,23 +702,25 @@ def _ilv_logical_col(shape, h):
 def _make_ilv_shift_left(h, col_log):
     """Logical left-shift-by-s with fill, interleaved layout.
 
-    s a multiple of H: every tile rolls left by s/H (single-tile).
-    s < H (only 1..H-1 from the power-of-two ladder): tile permute with
-    the wrapped tiles advanced one lane."""
+    Output tile j's source for logical lane i = l*h + j is logical
+    i + s = (l + (j+s)//h)*h + (j+s)%h, i.e. source tile (j+s) % h
+    advanced by (j+s)//h lanes — a roll by 128 - advance.  When s is a
+    multiple of h the advance is the uniform s//h and each tile is its
+    own source (pure single-tile rolls); otherwise the advance still
+    varies per tile and can exceed 1 for s > h (e.g. h=3, s=4: tile 2
+    advances 2 lanes) — the general form below handles every (h, s),
+    including non-power-of-two h from m = 384, 768 lane widths."""
 
     def shift_left(x, s, fill):
         m = x.shape[-1]
         ts = _ilv_tiles(x, h)
-        if s % h == 0:
-            k = s // h
-            parts = [pltpu.roll(t, shift=128 - k, axis=1) for t in ts]
-        else:
-            parts = []
-            for j in range(h):
-                src = ts[(j + s) % h]
-                if j + s >= h:
-                    src = pltpu.roll(src, shift=127, axis=1)
-                parts.append(src)
+        parts = []
+        for j in range(h):
+            src = ts[(j + s) % h]
+            adv = ((j + s) // h) % 128
+            if adv:
+                src = pltpu.roll(src, shift=128 - adv, axis=1)
+            parts.append(src)
         rolled = jnp.concatenate(parts, axis=1)
         return jnp.where(col_log < m - s, rolled, fill)
 
@@ -885,8 +895,15 @@ def pallas_lane_best_packed_varlen(
         )
     u, t4 = plan
     lens = jnp.asarray(lens, jnp.int32)
-    nb = -(-(m + jnp.maximum(lens, 1) - 1) // u)
-    ilv = m // 128 > 1
+    # Padding refs (lens == 0) run exactly ONE loop body: their window
+    # is all REF_PAD, which scores 0 everywhere, so the remaining
+    # ceil(m/u) bodies a real zero-length sweep would run are pure
+    # waste — this is what makes ladder-quantizing C nearly free.
+    nb = jnp.where(lens > 0, -(-(m + lens - 1) // u), 1)
+    # Interleaving needs the lane count to split into whole 128-lane
+    # tiles; any tile count h >= 2 (incl. non-powers-of-two, e.g.
+    # m=384 -> h=3) is handled by the generalized tile-permute shifts.
+    ilv = m % 128 == 0 and m // 128 > 1
     win4 = _diag_windows_packed4(jnp.asarray(refs).astype(jnp.int32), m, t4)
     packed_i = jnp.asarray(packed, jnp.int32)
     if ilv:
@@ -911,9 +928,11 @@ def pallas_lane_best_packed_varlen(
 def varlen_start_phys(start_idx, m: int):
     """Map flat logical start indices (row*m + lane) to the varlen
     kernel's physical (interleaved) layout — the free alternative to
-    ``deinterleave=True`` for gather-only consumers."""
+    ``deinterleave=True`` for gather-only consumers.  Identity when the
+    kernel does not interleave (same gate: m a multiple of 128 with
+    at least two tiles)."""
     h = m // 128
-    if h <= 1:
+    if m % 128 or h <= 1:
         return np.asarray(start_idx)
     row, lane = np.divmod(np.asarray(start_idx), m)
     return row * m + (lane % h) * 128 + lane // h

@@ -588,7 +588,11 @@ class ShardedBackend(BatchBackend):
             # Same giant-read fallback as the single-device override.
             return self._packed_col_sums(pack, refs_enc)
         u, t4 = plan
-        nb = (-(-(m_pack + np.maximum(lens_p, 1) - 1) // u)).astype(np.int32)
+        # Padding refs (lens == 0) run ONE body — all-REF_PAD windows
+        # score 0 regardless (same rationale as the single-device path).
+        nb = np.where(
+            lens_p > 0, -(-(m_pack + lens_p - 1) // u), 1
+        ).astype(np.int32)
         refs_sharded = jax.device_put(
             refs_p.astype(np.int32),
             NamedSharding(self.mesh, P("refs", None)),
@@ -600,7 +604,7 @@ class ShardedBackend(BatchBackend):
             pack["packed"],
             NamedSharding(self.mesh, P("reads", None)),
         )
-        ilv = m_pack // 128 > 1
+        ilv = m_pack % 128 == 0 and m_pack // 128 > 1
         si = np.asarray(pack["start_idx"])
         if ilv:
             win4 = _ilv_jit(win4)

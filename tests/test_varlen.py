@@ -16,8 +16,11 @@ from sparksmithwaterman_tpu.ops.pallas_score import (
     _deilv_lanes,
     _ilv_lanes,
     _ilv_logical_col,
+    _make_ilv_shift_left,
+    diag_read_block,
     pallas_lane_best_packed_varlen,
     plan_varlen,
+    varlen_start_phys,
 )
 from sparksmithwaterman_tpu.ops.recurrence import score_grid
 
@@ -135,6 +138,97 @@ def test_varlen_plan_failure_falls_back_to_grouped(monkeypatch):
     )
     assert called["grouped"] == 1
     assert out.shape == (3,)
+
+
+@pytest.mark.parametrize("h", [2, 3, 4, 6])
+def test_ilv_shift_left_all_tile_counts(h):
+    """The interleaved logical left-shift must equal the plain logical
+    shift for EVERY (tile count, shift) the suffix-max ladder uses —
+    including non-power-of-two h (m=384 -> h=3, m=768 -> h=6), where
+    the wrapped tiles must advance (j+s)//h lanes, not always 1 (the
+    round-3 bug silently corrupted alignment scores at those widths)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    m = 128 * h
+    rng = np.random.default_rng(h)
+    x = rng.integers(0, 10_000, size=(8, m)).astype(np.int32)
+    shifts = [1, 2, 4, 5, 7] + [s for s in (8, 16, 32, 64, 128, 256) if s < m]
+
+    import jax.numpy as jnp
+
+    def kern(x_ref, o_ref, *, s):
+        sl = _make_ilv_shift_left(h, _ilv_logical_col((8, m), h))
+        o_ref[...] = sl(x_ref[...], s, jnp.asarray(-1, jnp.int32))
+
+    for s in shifts:
+        got = pl.pallas_call(
+            lambda x_ref, o_ref, s=s: kern(x_ref, o_ref, s=s),
+            out_shape=jax.ShapeDtypeStruct((8, m), np.int32),
+            interpret=True,
+        )(_ilv_lanes(x))
+        got = np.asarray(_deilv_lanes(got))
+        want = np.full_like(x, -1)
+        want[:, : m - s] = x[:, s:]
+        assert np.array_equal(got, want), f"h={h} s={s}"
+
+
+def test_varlen_interleaved_m384_non_pow2_tiles():
+    """Full-kernel parity at m=384 (h=3): the lane width the round-3
+    interleave shift got wrong for every doubling shift >= 4.  Reads
+    >192bp force the 384 tier; multiple reads per row exercise the
+    segmented suffix max across tile boundaries."""
+    rng = np.random.default_rng(11)
+    reads = _rand_seqs(rng, [200, 120, 60, 350, 90, 33])
+    refs = _rand_seqs(rng, [48, 90, 130])
+    packed, si = pack_reads(reads, 384, row_multiple=8)
+    lane = pallas_lane_best_packed_varlen(
+        packed,
+        encode_batch(refs, 136, REF_PAD),
+        [len(r) for r in refs],
+        *(int(p) for p in PARAMS),
+        read_block=8,
+        unroll=8,
+        interpret=True,
+        deinterleave=False,
+    )
+    got = np.asarray(read_best(lane, varlen_start_phys(np.asarray(si), 384)))
+    assert np.array_equal(got, _want(reads, refs, 384, 136))
+
+
+def test_varlen_non_multiple_of_128_lanes_skips_interleave():
+    """m not a multiple of 128 (e.g. a 192-lane pack tier) must take
+    the plain layout, not crash the _ilv_lanes reshape."""
+    rng = np.random.default_rng(13)
+    reads = _rand_seqs(rng, [150, 60, 180, 40])
+    refs = _rand_seqs(rng, [64, 100])
+    packed, si = pack_reads(reads, 192, row_multiple=8)
+    lens = [len(r) for r in refs]
+    lane = pallas_lane_best_packed_varlen(
+        packed,
+        encode_batch(refs, 104, REF_PAD),
+        lens,
+        *(int(p) for p in PARAMS),
+        read_block=8,
+        unroll=8,
+        interpret=True,
+        deinterleave=False,
+    )
+    # varlen_start_phys must agree with the kernel's (non-)interleave gate
+    got = np.asarray(read_best(lane, varlen_start_phys(np.asarray(si), 192)))
+    assert np.array_equal(got, _want(reads, refs, 192, 104))
+
+
+def test_diag_read_block_always_divides():
+    """The resolved read block must divide the padded row count — the
+    kernels raise on R % read_block != 0 and two callers pass it
+    straight through (the giant-read r_pad=24 corner returned a
+    non-divisor 16 before round 4)."""
+    for r_pad in (8, 16, 24, 40, 48, 96, 384, 47_880 // 8 * 8):
+        for m_pad in (128, 256, 384, 2048, 8192, 65_536):
+            rb = diag_read_block(r_pad, m_pad)
+            assert rb >= 8 and rb % 8 == 0
+            assert r_pad % rb == 0, (r_pad, m_pad, rb)
 
 
 def test_varlen_empty_and_zero_len_refs():
