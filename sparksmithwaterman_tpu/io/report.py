@@ -20,6 +20,22 @@ Site = Tuple[int, Tuple[str, str]]
 # An "opt" entry is ((metadata, sequence), [sites...]).
 OptEntry = Tuple[Tuple[str, str], List[Site]]
 
+# Sentinel "aligned read" marking a note pseudo-site: ``build_report``
+# renders the aligned-ref field as a single bracketed line instead of an
+# Index/ref/read block.  NUL cannot appear in FASTA data, so no real
+# alignment can collide with it.
+_NOTE_TAG = "\x00note"
+
+
+def truncation_note(omitted: int) -> Site:
+    """A pseudo-site recording that ``omitted`` identical zero-score
+    sites were dropped by the degenerate-matrix cap
+    (``ops.traceback.DEGENERATE_SITE_CAP``), so a capped report is
+    self-describing rather than silently indistinguishable from an
+    uncapped one.  Index 0 + Python's stable site sort keep it last
+    among the (all index-0) degenerate sites."""
+    return (0, (f"[{omitted} identical zero-score sites omitted]", _NOTE_TAG))
+
 
 def build_report(
     reads: Sequence[str],
@@ -48,6 +64,10 @@ def build_report(
         parts.append(f"{sequence}{NEWLINE}")
         parts.append(NEWLINE)
         for index, (aligned_ref, aligned_read) in sites:
+            if aligned_read == _NOTE_TAG:
+                parts.append(f"{TAB}{aligned_ref}{NEWLINE}")
+                parts.append(NEWLINE)
+                continue
             parts.append(f"{TAB}Index = {index}{NEWLINE}")
             parts.append(f"{TAB}{aligned_ref}{NEWLINE}")
             parts.append(f"{TAB}{aligned_read}{NEWLINE}")

@@ -39,8 +39,20 @@ DEGENERATE_SITE_CAP = 1 << 20
 
 
 def degenerate_sites(m: int, n: int) -> List[Site]:
-    """The all-zero-matrix site list: m*n empty sites, capped."""
-    return [(0, ("", ""))] * min(m * n, DEGENERATE_SITE_CAP)
+    """The all-zero-matrix site list: m*n empty sites, capped.
+
+    A capped list carries a trailing :func:`..io.report.truncation_note`
+    pseudo-site naming the omitted count, so the written report is
+    self-describing (VERDICT r3 task 9 — a silently capped report was
+    indistinguishable from an uncapped one)."""
+    total = m * n
+    if total <= DEGENERATE_SITE_CAP:
+        return [(0, ("", ""))] * total
+    from sparksmithwaterman_tpu.io.report import truncation_note
+
+    return [(0, ("", ""))] * DEGENERATE_SITE_CAP + [
+        truncation_note(total - DEGENERATE_SITE_CAP)
+    ]
 
 
 def sites_from_fill(

@@ -160,14 +160,23 @@ def run_multihost_pipeline(
             nonlocal local_max, winners, pending, pending_bp
             if not pending:
                 return
-            totals = backend.totals(reads, [seq for _, _, seq in pending])
-            for (file_idx, seq_idx, _), total in zip(pending, totals):
-                total = int(total)
-                if total > local_max:
-                    local_max = total
-                    winners = [(file_idx, seq_idx)]
-                elif total == local_max:
-                    winners.append((file_idx, seq_idx))
+            # Device-side winner reduction, same as the single-host
+            # pipeline's flush (models/pipeline.py): only (best, tie
+            # indices) cross to the host — O(winners), not O(C) int64
+            # totals, per flush (VERDICT r3 task 5).  Tie indices
+            # ascend, preserving encounter-order append semantics.
+            best, ties = backend.best_of(
+                reads, [seq for _, _, seq in pending]
+            )
+            if best > local_max:
+                local_max = best
+                winners = [
+                    (pending[i][0], pending[i][1]) for i in ties
+                ]
+            elif best == local_max:
+                winners.extend(
+                    (pending[i][0], pending[i][1]) for i in ties
+                )
             pending = []
             pending_bp = 0
 

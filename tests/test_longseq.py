@@ -120,7 +120,19 @@ def test_degenerate_all_zero_long_ref_is_capped():
     ref = "CGT" * 43700  # 131,100 bp, no 'A'
     read = "A" * 128
     sites = sites_for_pair_long(ref, read, (5, -3, -4))
-    assert len(sites) == DEGENERATE_SITE_CAP
+    # CAP empty sites + one self-describing truncation note (r4: a
+    # capped report must not be indistinguishable from an uncapped one).
+    assert len(sites) == DEGENERATE_SITE_CAP + 1
     assert sites[0] == (0, ("", ""))
-    # Small matrices stay exact (m * n below the cap).
+    omitted = 128 * 131_100 - DEGENERATE_SITE_CAP
+    assert sites[-1][1][0] == (
+        f"[{omitted} identical zero-score sites omitted]"
+    )
+    # The note renders as ONE bracketed line, not an Index/ref/read block.
+    from sparksmithwaterman_tpu.io.report import build_report
+
+    report = build_report([read], 1, 1, 0, 0, [(("m", "s"), sites[-1:])])
+    assert "\t[%d identical zero-score sites omitted]\n" % omitted in report
+    assert "Index =" not in report.split("Maximum alignment score")[1]
+    # Small matrices stay exact (m * n below the cap, no note).
     assert len(degenerate_sites(4, 9)) == 36

@@ -100,6 +100,44 @@ def test_simulated_two_host_merge(tmp_path, make_seq):
     assert f"Maximum alignment score = {5 * len(read)}" in text
 
 
+def test_multihost_flush_is_device_reduced(tmp_path):
+    """The multihost flush must take the backend's device-side winner
+    reduce (``best_of`` — one scalar + tie indices fetched), never the
+    O(C)-totals host merge the single-host pipeline already eliminated
+    (VERDICT r3 task 5)."""
+    refs = tmp_path / "refs"
+    inputs = tmp_path / "in"
+    refs.mkdir(), inputs.mkdir()
+    (refs / "ref1.rna.fna").write_text(
+        ">gi|1|alpha\nAACGTACGTTT\n>gi|2|beta\nGGGGGGGG\n"
+    )
+    (inputs / "input1.fa").write_text("ACGTACGT\n")
+    config = AlignConfig(
+        ref_dir=str(refs), in_dir=str(inputs),
+        out_dir=str(tmp_path / "out"), strategy="batch",
+        read_bucket=8, ref_bucket=16,
+    )
+    from sparksmithwaterman_tpu.models.aligner import get_backend
+
+    inner = get_backend(config)
+    calls = {"best_of": 0}
+
+    class Spy:
+        def totals(self, reads, refs_):
+            raise AssertionError("multihost flush must use best_of")
+
+        def best_of(self, reads, refs_):
+            calls["best_of"] += 1
+            return inner.best_of(reads, refs_)
+
+        def sites_for_ref(self, ref, reads):
+            return inner.sites_for_ref(ref, reads)
+
+    paths = run_multihost_pipeline(config, HostConfig(), backend=Spy())
+    assert calls["best_of"] >= 1
+    assert "Maximum alignment score = 40" in open(paths[0]).read()
+
+
 def test_per_shard_journal_resume(tmp_path):
     """A restarted host replays its journaled shard result without
     rescoring (SURVEY §5: per-shard result journal for elastic restart);
@@ -123,6 +161,9 @@ def test_per_shard_journal_resume(tmp_path):
             self._inner = inner
 
         def totals(self, reads, refs_):
+            raise AssertionError("journal should have prevented rescoring")
+
+        def best_of(self, reads, refs_):
             raise AssertionError("journal should have prevented rescoring")
 
         def sites_for_ref(self, ref, reads):
