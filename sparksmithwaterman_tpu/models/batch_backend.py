@@ -300,8 +300,23 @@ class BatchBackend:
         (score, ref, sites) tuple to the driver.  Tie indices ascend =
         encounter order (the reference's ``==``-appends).
         """
+        return self.best_of_async(reads, ref_seqs)()
+
+    def best_of_async(self, reads, ref_seqs):
+        """Dispatch ``best_of`` and return a ``resolve() -> (best,
+        ties)`` closure that blocks on the single host fetch.
+
+        The fetch round-trip through a remote-TPU tunnel costs tens of
+        ms regardless of payload; the pipeline double-buffers flushes by
+        resolving flush k only after dispatching flush k+1, hiding the
+        device tail + fetch latency behind the next flush's host work
+        (measured ~60 ms/flush of upload+RTT residual on the bench
+        workload, experiments/profile_varlen_budget.py).  The GCUPS
+        counter records the dispatch window only — the pipeline-level
+        wall time lives in the report's exec-time line.
+        """
         if not reads or not ref_seqs:
-            return 0, list(range(len(ref_seqs)))
+            return lambda: (0, list(range(len(ref_seqs))))
         import jax.numpy as jnp
 
         with self.gcups.measure_lazy() as done:
@@ -326,22 +341,27 @@ class BatchBackend:
             best_hi = jnp.max(hi)
             mask_hi = hi == best_hi
             best_lo = jnp.max(jnp.where(mask_hi, lo, 0))
-            combined = np.asarray(
-                jnp.concatenate(
-                    [
-                        (mask_hi & (lo == best_lo)).astype(jnp.int32),
-                        jnp.stack(
-                            [best_hi, best_lo.astype(jnp.int32)]
-                        ),
-                    ]
-                )
+            combined_dev = jnp.concatenate(
+                [
+                    (mask_hi & (lo == best_lo)).astype(jnp.int32),
+                    jnp.stack([best_hi, best_lo.astype(jnp.int32)]),
+                ]
             )
+            try:  # start the host copy while the caller keeps working
+                combined_dev.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend-dependent
+                pass
+            done(total_cells)
+
+        def resolve() -> Tuple[int, List[int]]:
+            combined = np.asarray(combined_dev)
             mask = combined[:c]
             best = (int(combined[c]) << 32) | (
                 int(combined[c + 1]) & 0xFFFFFFFF
             )
-            done(total_cells)
-        return best, [int(i) for i in np.flatnonzero(mask)]
+            return best, [int(i) for i in np.flatnonzero(mask)]
+
+        return resolve
 
     def _dispatch_cols(self, reads, ref_seqs):
         """Dispatch every (read-chunk x ref-chunk) scoring call, PIPELINED

@@ -104,24 +104,46 @@ def run_pipeline(config: AlignConfig, backend=None, resume: bool = False) -> Lis
         # sequences in exact file/record encounter order.
         pending: List[Tuple[str, str]] = []
         pending_bp = 0
+        # Double-buffered flushes: flush k's (entries, resolve) pair is
+        # resolved only after flush k+1 has been DISPATCHED, hiding the
+        # device tail + the fetch round-trip (tens of ms through a
+        # remote-TPU tunnel) behind the next flush's parse/encode host
+        # work.  Resolution stays in dispatch order, so the winner
+        # bookkeeping sees sequences in exact encounter order.
+        in_flight: List[Tuple[List[Tuple[str, str]], object]] = []
+        best_of_async = getattr(backend, "best_of_async", None)
+        if best_of_async is None:  # serial/seq backends: sync fallback
+            def best_of_async(reads_, seqs, _b=backend):
+                res = _b.best_of(reads_, seqs)
+                return lambda: res
 
-        def flush():
-            nonlocal global_max, winners, pending, pending_bp
-            if not pending:
-                return
+        def drain_one():
+            nonlocal global_max, winners
+            entries, resolve = in_flight.pop(0)
             # Device-side winner reduction: only (best, tie indices)
             # cross to the host — O(shards), not O(C), per dispatch
             # (the intent of Distribution.java:341-353 without its
             # collect-everything driver merge).  Tie indices ascend, so
             # encounter-order append semantics are preserved.
-            best, ties = backend.best_of(reads, [seq for _, seq in pending])
+            best, ties = resolve()
             if best > global_max:
                 global_max = best
-                winners = [pending[i] for i in ties]
+                winners = [entries[i] for i in ties]
             elif best == global_max:
-                winners.extend(pending[i] for i in ties)
+                winners.extend(entries[i] for i in ties)
+
+        def flush():
+            nonlocal pending, pending_bp
+            if not pending:
+                return
+            entries = pending
             pending = []
             pending_bp = 0
+            in_flight.append(
+                (entries, best_of_async(reads, [seq for _, seq in entries]))
+            )
+            while len(in_flight) > 1:
+                drain_one()
 
         for ref_file in iter_files(config.ref_dir):
             ref_seqs = get_ref_seqs(ref_file, config.delimiter)
@@ -132,6 +154,8 @@ def run_pipeline(config: AlignConfig, backend=None, resume: bool = False) -> Lis
                 if pending_bp >= config.ref_batch_bp:
                     flush()
         flush()
+        while in_flight:
+            drain_one()
 
         # Traceback pass: only the winning references (the reference
         # computes these inline per pair; the result set is identical).

@@ -1980,6 +1980,287 @@ def _argmax_chunked_call(
     )
 
 
+# -- banded wavefront with boundary columns (sequence parallelism) -------
+
+
+def _diag_kernel_packed_band(
+    reads_ref, win_ref, bnd_ref, out_ref, bout_ref,
+    d1_s, r1_s, r2_s, best_s, bout_s,
+    *, match, mismatch, gap, unroll, bodies_per_chunk, num_chunks, ns,
+    interleaved,
+):
+    """Packed wavefront over ONE reference SEGMENT with a left boundary
+    column in and a right boundary column out — the intra-chip band fill
+    of the cross-chip sequence-parallel strategy (the reference's
+    ``DistributedSW`` wavefront, ``src/sw/DistributedSW.java:118-252``,
+    whose S/E/SE ``Broadcast`` across the segment edge becomes these two
+    (ROWS, M) columns riding a ``ppermute`` ring).
+
+    Boundary mechanics (linear gap, exact): the left column
+    ``H[i, -1] = bnd[i]`` lives on packed diagonal d = lane(i) - 1, so at
+    global step d it is injected into the previous-diagonal buffer at
+    lane d (the W dependency of cell (i, 0)) and, pre-shifted with
+    segment-start zeroing, into the shifted grandparent buffer (the NW
+    dependency) — two lane-masked selects per step, self-guarding: for
+    d >= M the mask ``col == d`` is everywhere-false.  Symmetrically the
+    right column ``H[i, ns-1]`` is peeled off the fresh diagonal at lane
+    d - (ns - 1) (everywhere-false until the wavefront reaches the last
+    segment column).  Window streaming and cross-chunk DP state follow
+    `_chunked_kernel` (scratch persists across the innermost grid dim).
+    """
+    rb, m = reads_ref.shape
+    dt = jnp.int32
+    tc = pl.program_id(1)
+    raw = reads_ref[:]
+    reads_block = raw & (_START_BIT - 1)
+    startm = raw >= _START_BIT
+    h = m // 128
+    if interleaved and h > 1:
+        shift1 = _make_ilv_shift1(h)
+        col_log = _ilv_logical_col((rb, m), h)
+        shift_left = _make_ilv_shift_left(h, col_log)
+    else:
+        shift1 = None
+        col_log = jax.lax.broadcasted_iota(jnp.int32, (rb, m), dimension=1)
+        shift_left = _plain_shift_left
+    step = _make_step(
+        reads_block, startm, match, mismatch, gap, dt, shift1=shift1
+    )
+    base_shift1 = shift1 or (lambda x: pltpu.roll(x, shift=1, axis=1))
+
+    @pl.when(tc == 0)
+    def _init():
+        zeros = jnp.zeros((rb, m), dt)
+        d1_s[...] = zeros
+        r1_s[...] = zeros
+        r2_s[...] = zeros
+        best_s[...] = zeros
+        bout_s[...] = zeros
+
+    bnd = bnd_ref[:]
+    # rm(bnd): the NW-injection form (shift with segment-start zeroing —
+    # a read's first row has NW = H[-1, -1] = 0, the matrix-edge zero).
+    bnd_s = jnp.where(startm, jnp.asarray(0, dt), base_shift1(bnd))
+    words = unroll // 4
+    chunk_steps = bodies_per_chunk * unroll
+
+    def body(t, carry):
+        d1, r1, r2, best, bout = carry
+        base = words * t
+        d_base = tc * chunk_steps + unroll * t
+        bm = None
+        prev = None
+        w = None
+        for k in range(unroll):
+            if k % 4 == 0:
+                w = win_ref[0, pl.ds(base + k // 4, 1), :]
+                refwin = w & 255
+            else:
+                refwin = (w >> (8 * (k % 4))) & 255
+            d = d_base + k
+            # Left-boundary injection (self-guarding masks, see above).
+            d1 = jnp.where(col_log == d, bnd, d1)
+            r2 = jnp.where(col_log == d, bnd_s, r2)
+            c1, rc = step(d1, r1, r2, refwin)
+            # Right-boundary extraction.
+            bout = jnp.where(col_log == d - (ns - 1), c1, bout)
+            if prev is None:
+                prev = c1
+            else:
+                pair = jnp.maximum(prev, c1)
+                bm = pair if bm is None else jnp.maximum(bm, pair)
+                prev = None
+            d1, r2, r1 = c1, r1, rc
+        if prev is not None:
+            bm = prev if bm is None else jnp.maximum(bm, prev)
+        return d1, r1, r2, jnp.maximum(best, bm), bout
+
+    d1, r1, r2, best, bout = jax.lax.fori_loop(
+        0, bodies_per_chunk, body,
+        (d1_s[...], r1_s[...], r2_s[...], best_s[...], bout_s[...]),
+    )
+    d1_s[...] = d1
+    r1_s[...] = r1
+    r2_s[...] = r2
+    best_s[...] = best
+    bout_s[...] = bout
+
+    @pl.when(tc == num_chunks - 1)
+    def _emit():
+        out_ref[0, :, :] = _segmented_suffix_max(
+            best, startm, shift_left=shift_left
+        )
+        bout_ref[0, :, :] = bout
+
+
+def plan_band(read_block: int, m: int, unroll: int = 64):
+    """(unroll, words_per_chunk) for the band kernel, or raises.
+
+    The window streams in chunks (innermost grid dim), so only the
+    triple-buffered chunk block plus the DP state must fit scoped VMEM;
+    any segment length works at a fixed plan.  words_per_chunk is a
+    multiple of unroll/4 so each chunk runs whole unrolled bodies.
+    """
+    limit = _vmem_limit()
+    u = min(unroll, m) & ~7
+    while u >= 8:
+        state = (0.65 * u + 9) * read_block * m * 4
+        w_budget = (limit - state) / (12 * m)  # 3 buffers x 4 bytes
+        wq = max(1, u // 4)
+        words = int(w_budget // wq) * wq
+        if words >= wq:
+            return u, min(words, 2048)
+        u -= 8
+    raise ValueError(
+        f"no band-kernel config fits scoped VMEM at "
+        f"read_block={read_block}, m={m}"
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "unroll",
+        "words_per_chunk", "ns", "interleaved", "interpret",
+    ),
+)
+def _band_call(
+    packed_i, win4, bnd, *, match, mismatch, gap, read_block, unroll,
+    words_per_chunk, ns, interleaved, interpret,
+):
+    """(lane_best, bnd_out), both (ROWS, M) in the kernel's layout.
+
+    ``packed_i``/``win4``/``bnd`` must already be in the kernel layout
+    (interleaved when m > 128); see :func:`pallas_band_lane_best` for
+    the converting wrapper."""
+    rows, m = packed_i.shape
+    _, t4, _ = win4.shape
+    num_chunks = t4 // words_per_chunk
+    grid = (rows // read_block, num_chunks)
+    kernel = functools.partial(
+        _diag_kernel_packed_band,
+        match=match, mismatch=mismatch, gap=gap, unroll=unroll,
+        bodies_per_chunk=4 * words_per_chunk // unroll,
+        num_chunks=num_chunks, ns=ns, interleaved=interleaved,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((1, rows, m), jnp.int32),
+        jax.ShapeDtypeStruct((1, rows, m), jnp.int32),
+    )
+    out_spec = (
+        pl.BlockSpec(
+            (1, read_block, m), lambda ri, tc: (0, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, read_block, m), lambda ri, tc: (0, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    lane, bout = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (read_block, m), lambda ri, tc: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, words_per_chunk, m), lambda ri, tc: (0, tc, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (read_block, m), lambda ri, tc: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((read_block, m), jnp.int32) for _ in range(5)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=13 * rows * m * 4 * t4,
+            bytes_accessed=4 * (3 * rows * m + t4 * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed_i, win4, bnd)
+    return lane[0], bout[0]
+
+
+def band_plan_windows(seg_i, m: int, read_block: int, unroll: int = 64):
+    """Byte-packed window + plan for one segment batch: returns
+    (win4 (C, T4, M), unroll, words_per_chunk, ns).
+
+    ``seg_i``: (C, NS) int32 segment codes (REF_PAD-padded)."""
+    ns = seg_i.shape[1]
+    u, words = plan_band(read_block, m, unroll)
+    diags = m + ns - 1
+    # Shrink the chunk to the needed diagonal count (rounded to whole
+    # unrolled bodies) — short segments must not pay the full VMEM-sized
+    # chunk's step count.
+    wq = max(1, u // 4)
+    need = -(-(-(-diags // 4)) // wq) * wq
+    words = min(words, need)
+    steps_per_chunk = 4 * words
+    num_chunks = max(1, -(-diags // steps_per_chunk))
+    t4 = num_chunks * words
+    win4 = _diag_windows_packed4(seg_i, m, t4)
+    return win4, u, words, ns
+
+
+def pallas_band_lane_best(
+    packed,
+    seg,
+    bnd,
+    match,
+    mismatch,
+    gap,
+    *,
+    read_block: int = 8,
+    unroll: int = 64,
+    interpret: bool = False,
+):
+    """(lane_best, bnd_out) for packed reads vs ONE reference segment
+    with a LEFT boundary column — logical layouts in and out.
+
+    ``lane_best`` is segment-suffix-maxed per packed read (the
+    :func:`pallas_lane_best_packed` contract); ``bnd_out`` holds
+    ``H[i, ns-1]`` per packed lane, feeding the next segment's ``bnd``.
+    Chaining segments left-to-right with zero initial boundary and
+    taking the elementwise max of lane bests equals the unsegmented
+    kernel on the concatenated reference exactly.
+    """
+    rows, m = packed.shape
+    if rows % read_block != 0:
+        raise ValueError(
+            f"ROWS={rows} must be a multiple of read_block={read_block}"
+        )
+    match, mismatch, gap = int(match), int(mismatch), int(gap)
+    seg_i = jnp.asarray(seg, jnp.int32).reshape(1, -1)
+    win4, u, words, ns = band_plan_windows(seg_i, m, read_block, unroll)
+    packed_i = jnp.asarray(packed, jnp.int32)
+    bnd_i = jnp.asarray(bnd, jnp.int32)
+    ilv = m % 128 == 0 and m // 128 > 1
+    if ilv:
+        win4 = _ilv_jit(win4)
+        packed_i = _ilv_jit(packed_i)
+        bnd_i = _ilv_jit(bnd_i)
+    lane, bout = _band_call(
+        packed_i, win4, bnd_i,
+        match=match, mismatch=mismatch, gap=gap,
+        read_block=read_block, unroll=u, words_per_chunk=words,
+        ns=ns, interleaved=ilv, interpret=interpret,
+    )
+    if ilv:
+        lane, bout = _deilv_jit(lane), _deilv_jit(bout)
+    return lane, bout
+
+
 def default_interpret() -> bool:
     """Pallas TPU kernels need interpret mode off-TPU (tests run on CPU)."""
     return jax.default_backend() != "tpu"

@@ -156,29 +156,45 @@ def run_multihost_pipeline(
         pending: List[Tuple[int, int, str]] = []  # (file_idx, seq_idx, seq)
         pending_bp = 0
 
-        def flush():
-            nonlocal local_max, winners, pending, pending_bp
-            if not pending:
-                return
-            # Device-side winner reduction, same as the single-host
-            # pipeline's flush (models/pipeline.py): only (best, tie
-            # indices) cross to the host — O(winners), not O(C) int64
-            # totals, per flush (VERDICT r3 task 5).  Tie indices
-            # ascend, preserving encounter-order append semantics.
-            best, ties = backend.best_of(
-                reads, [seq for _, _, seq in pending]
-            )
+        # Device-side winner reduction + double-buffered resolution,
+        # same as the single-host pipeline's flush (models/pipeline.py):
+        # only (best, tie indices) cross to the host — O(winners), not
+        # O(C) int64 totals, per flush (VERDICT r3 task 5) — and flush
+        # k's fetch round-trip hides behind flush k+1's parse/encode.
+        in_flight: List[Tuple[List[Tuple[int, int, str]], object]] = []
+        best_of_async = getattr(backend, "best_of_async", None)
+        if best_of_async is None:  # serial backend: sync fallback
+            def best_of_async(reads_, seqs, _b=backend):
+                res = _b.best_of(reads_, seqs)
+                return lambda: res
+
+        def drain_one():
+            nonlocal local_max, winners
+            entries, resolve = in_flight.pop(0)
+            best, ties = resolve()
             if best > local_max:
                 local_max = best
-                winners = [
-                    (pending[i][0], pending[i][1]) for i in ties
-                ]
+                winners = [(entries[i][0], entries[i][1]) for i in ties]
             elif best == local_max:
                 winners.extend(
-                    (pending[i][0], pending[i][1]) for i in ties
+                    (entries[i][0], entries[i][1]) for i in ties
                 )
+
+        def flush():
+            nonlocal pending, pending_bp
+            if not pending:
+                return
+            entries = pending
             pending = []
             pending_bp = 0
+            in_flight.append(
+                (
+                    entries,
+                    best_of_async(reads, [seq for _, _, seq in entries]),
+                )
+            )
+            while len(in_flight) > 1:
+                drain_one()
 
         if journaled is not None:
             local_max = int(journaled["local_max"])
@@ -194,6 +210,8 @@ def run_multihost_pipeline(
                     if pending_bp >= config.ref_batch_bp:
                         flush()
             flush()
+            while in_flight:
+                drain_one()
             os.makedirs(partial_dir, exist_ok=True)
             tmp = journal_path + ".tmp"
             with open(tmp, "w") as f:

@@ -175,6 +175,169 @@ def _seqp_call_batch(reads, refs, match, mismatch, gap, *, mesh, axis, stripe):
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "mesh", "axis", "read_block",
+        "unroll", "words", "ns_local", "interleaved", "interpret",
+    ),
+)
+def _seqp_band_call(
+    packed_i, refs_enc, si_phys, *, match, mismatch, gap, mesh, axis,
+    read_block, unroll, words, ns_local, interleaved, interpret,
+):
+    """(C, R) per-read best scores with every ref length-sharded and the
+    in-band fill a PALLAS kernel (VERDICT r3 task 3) — the TPU-real form
+    of the reference's DistributeAlgorithm wavefront
+    (``src/sw/DistributedSW.java:118-252``).
+
+    Pipelining is at whole-(ref, chip-band) granularity: in round ``t``
+    chip ``k`` fills its segment band of ref ``t - k`` using the
+    boundary column chip ``k-1`` emitted for that ref in round ``t-1``
+    (one ``ppermute`` hop per round).  With C refs in flight the ring's
+    fill/drain waste is (size-1)/(C+size-1) — the read-stripe schedule
+    of the lax path is unnecessary because the banded kernel already
+    exposes the whole band's parallelism to the VPU.
+
+    ``packed_i``: (ROWS, M) int32 packed reads in the KERNEL layout
+    (interleaved when M has multiple 128-lane tiles), replicated.
+    ``refs_enc``: (C, N) uint8, N % size == 0, sharded P(None, axis).
+    ``si_phys``: (R,) int32 flat gather indices in the kernel layout.
+    """
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        _band_call,
+        _diag_windows_packed4,
+        _ilv_lanes,
+    )
+
+    rows, m = packed_i.shape
+    t4 = words * max(
+        1, -(-(m + ns_local - 1) // (4 * words))
+    )
+
+    def chip_body(packed_i, refs_seg, si_phys):
+        k = jax.lax.axis_index(axis)
+        size = jax.lax.psum(1, axis)
+        c = refs_seg.shape[0]
+        win4 = _diag_windows_packed4(
+            refs_seg.astype(jnp.int32), m, t4
+        )  # (C, T4, M) for THIS chip's segments
+        if interleaved:
+            win4 = _ilv_lanes(win4)
+        rounds = c + size - 1
+        perm = [(i, i + 1) for i in range(size - 1)]
+        r = si_phys.shape[0]
+
+        def round_body(t, carry):
+            bnd_prev, best_buf = carry
+            bnd_in = jax.lax.ppermute(bnd_prev, axis, perm)
+            rc = t - k
+            active = jnp.logical_and(rc >= 0, rc < c)
+            rci = jnp.clip(rc, 0, c - 1)
+            win = jax.lax.dynamic_slice(win4, (rci, 0, 0), (1, t4, m))
+            lane, bout = _band_call(
+                packed_i, win, bnd_in,
+                match=match, mismatch=mismatch, gap=gap,
+                read_block=read_block, unroll=unroll,
+                words_per_chunk=words, ns=ns_local,
+                interleaved=interleaved, interpret=interpret,
+            )
+            scores = lane.reshape(-1)[si_phys]  # (R,) suffix-maxed gather
+            best_buf = jnp.where(
+                active,
+                jax.lax.dynamic_update_slice(
+                    best_buf, scores[None, :], (rci, 0)
+                ),
+                best_buf,
+            )
+            bnd_next = jnp.where(active, bout, jnp.zeros_like(bout))
+            return bnd_next, best_buf
+
+        init = (
+            jnp.zeros((rows, m), jnp.int32),
+            jnp.zeros((c, r), jnp.int32),
+        )
+        _, best = jax.lax.fori_loop(0, rounds, round_body, init)
+        return jax.lax.pmax(best, axis)
+
+    fn = shard_map(
+        chip_body,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(packed_i, refs_enc, si_phys)
+
+
+def seqparallel_scores_band(
+    reads,
+    refs_enc: np.ndarray,
+    match: int,
+    mismatch: int,
+    gap: int,
+    *,
+    mesh: Mesh,
+    axis: str = "seq",
+    read_block: int | None = None,
+    unroll: int = 64,
+    interpret: bool = False,
+):
+    """(C, R) per-read max scores via the banded Pallas ring.
+
+    ``reads``: list of read strings (packed internally);
+    ``refs_enc``: (C, N) uint8 with N % mesh-axis-size == 0.
+    ``read_block`` defaults to the calibrated `diag_read_block` (big
+    blocks feed the serial diagonal chain its ILP — rb=8 measured ~40x
+    below rb=256 at m=128).
+    """
+    from sparksmithwaterman_tpu.ops.packing import pack_reads
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        _ilv_jit,
+        diag_read_block,
+        plan_band,
+        varlen_start_phys,
+    )
+
+    size = mesh.shape[axis]
+    n = refs_enc.shape[1]
+    if n % size:
+        raise ValueError(f"N={n} must divide over {size} seq shards")
+    ns_local = n // size
+    m_pack = 128
+    longest = max((len(r) for r in reads), default=1)
+    while m_pack < longest:
+        m_pack *= 2
+    packed, start_idx = pack_reads(list(reads), m_pack, row_multiple=8)
+    rows = packed.shape[0]
+    rb = read_block if read_block is not None else diag_read_block(rows, m_pack)
+    while rows % rb:
+        rb -= 8
+    rb = max(8, rb)
+    u, words = plan_band(rb, m_pack, unroll)
+    # Shrink the window chunk to the band's true diagonal count (whole
+    # unrolled bodies) — the VMEM-sized chunk would otherwise make every
+    # round run its full step budget regardless of segment length.
+    wq = max(1, u // 4)
+    diags = m_pack + ns_local - 1
+    need = -(-(-(-diags // 4)) // wq) * wq
+    words = min(words, need)
+    ilv = m_pack % 128 == 0 and m_pack // 128 > 1
+    packed_i = jnp.asarray(packed, jnp.int32)
+    si = np.asarray(start_idx)
+    if ilv:
+        packed_i = _ilv_jit(packed_i)
+        si = varlen_start_phys(si, m_pack)
+    return _seqp_band_call(
+        packed_i,
+        jnp.asarray(refs_enc),
+        jnp.asarray(si, jnp.int32),
+        match=int(match), mismatch=int(mismatch), gap=int(gap),
+        mesh=mesh, axis=axis, read_block=rb, unroll=u, words=words,
+        ns_local=ns_local, interleaved=ilv, interpret=interpret,
+    )
+
+
 def seqparallel_scores(
     reads,
     ref: str,
@@ -288,6 +451,9 @@ class SeqParallelBackend:
         self.read_bucket = config.read_bucket
         self.ref_bucket = config.ref_bucket
         self.gcups = self._inner.gcups
+        # TPU: banded Pallas in-band fill + ppermute ring (the lax
+        # stripe schedule stays as the CPU/virtual-mesh path).
+        self._use_band = self._inner.use_pallas
 
     def _encode_reads(self, reads):
         m = max((len(r) for r in reads), default=1)
@@ -337,10 +503,20 @@ class SeqParallelBackend:
                         n,
                         REF_PAD,
                     )
-                    scores = seqparallel_scores_batch(
-                        reads_enc, refs_enc, s.match, s.mismatch, s.gap,
-                        mesh=self.mesh, axis=self.axis, stripe=self.stripe,
-                    )  # (C_q, B)
+                    if self._use_band:
+                        # TPU path: banded Pallas kernel inside each
+                        # chip's segment, ppermute ring between chips
+                        # (VERDICT r3 task 3 — the lax in-band fill
+                        # measured 0.62 real GCUPS, ~350x below batch).
+                        scores = seqparallel_scores_band(
+                            reads, refs_enc, s.match, s.mismatch, s.gap,
+                            mesh=self.mesh, axis=self.axis,
+                        )  # (C_q, R)
+                    else:
+                        scores = seqparallel_scores_batch(
+                            reads_enc, refs_enc, s.match, s.mismatch, s.gap,
+                            mesh=self.mesh, axis=self.axis, stripe=self.stripe,
+                        )  # (C_q, B)
                     pending.append((chunk, scores.sum(axis=1, dtype=jnp.int32)))
             flat = np.asarray(
                 jnp.concatenate([col for _, col in pending])
