@@ -362,6 +362,13 @@ def _sharded_packed_call(
     return block(packed, windows, start_idx)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "reads_axis", "refs_axis", "kernel_params", "unroll",
+        "interleaved", "interpret",
+    ),
+)
 def _sharded_varlen_call(
     packed,
     win4,
@@ -382,6 +389,11 @@ def _sharded_varlen_call(
     meet in a psum.  ``start_phys`` carries PHYSICAL flat lane indices
     (the interleaved layout's index mapping is done host-side, so no
     de-interleave pass runs on device at all).
+
+    The jit wrapper is load-bearing: an UN-jitted wrapper builds a fresh
+    shard_map callable per dispatch, which re-enters the (remote)
+    compile service every call — measured ~12 s PER DISPATCH flat
+    through the axon tunnel at corpus scale, swamping the ~50 ms kernel.
     """
     from sparksmithwaterman_tpu.ops.pallas_score import _varlen_call
 
@@ -437,6 +449,32 @@ def _sharded_totals_lax_call(
         return jax.lax.psum(local, reads_axis)
 
     return block(reads, refs, match, mismatch, gap)
+
+
+def _c_pad_fusable(c: int, dc: int) -> int:
+    """Ref-count padding that keeps the window-build column stack
+    FUSED by XLA.
+
+    Measured on v5e (remote compile, m=256, t4=1088): the
+    `_diag_windows_packed4`/`_diag_windows` stack fuses at small C and
+    at C a multiple of 128 (384/512/640 compile; 448/456/480/488/496/
+    520/576 request ~65 GB of 128x-padded per-column temps and OOM the
+    compile).  The single-device path never hits this because its
+    1.5-mantissa ladder's values above 256 are all multiples of 128;
+    this mirrors that for the mesh (rounded up to the 8*dc shard
+    multiple — above 256, to lcm(8*dc, 128)).  Pad refs cost ~1 loop
+    body each, so the extra padding is ~free.
+    """
+    import math
+
+    from sparksmithwaterman_tpu.models.batch_backend import _quantize_15
+
+    mult = 8 * dc
+    q = _quantize_15(max(c, 8), 8)
+    if q <= 256:
+        return -(-q // mult) * mult
+    step = mult * 128 // math.gcd(mult, 128)
+    return -(-q // step) * step
 
 
 class ShardedBackend(BatchBackend):
@@ -533,7 +571,7 @@ class ShardedBackend(BatchBackend):
         m_pack = pack["m_pack"]
         shard_rows = pack["rows"] // self._dr
         rb = self._pack_read_block(shard_rows, m_pack)
-        c_pad = -(-refs_enc.shape[0] // (8 * self._dc)) * (8 * self._dc)
+        c_pad = _c_pad_fusable(refs_enc.shape[0], self._dc)
         refs_p = _pad_rows(refs_enc, c_pad, REF_PAD)
         n_pad = refs_p.shape[1]
         plan = _kernel_plan(rb, m_pack, n_pad)
@@ -576,8 +614,7 @@ class ShardedBackend(BatchBackend):
         m_pack = pack["m_pack"]
         shard_rows = pack["rows"] // self._dr
         rb = self._pack_read_block(shard_rows, m_pack)
-        c_mult = 8 * self._dc
-        c_pad = -(-refs_enc.shape[0] // c_mult) * c_mult
+        c_pad = _c_pad_fusable(refs_enc.shape[0], self._dc)
         refs_p = _pad_rows(refs_enc, c_pad, REF_PAD)
         lens_p = np.concatenate(
             [np.asarray(lens, np.int32),
@@ -593,17 +630,23 @@ class ShardedBackend(BatchBackend):
         nb = np.where(
             lens_p > 0, -(-(m_pack + lens_p - 1) // u), 1
         ).astype(np.int32)
-        refs_sharded = jax.device_put(
-            refs_p.astype(np.int32),
-            NamedSharding(self.mesh, P("refs", None)),
+        # Window build: PLAIN single-device jit.  Under the SPMD
+        # partitioner (sharded input jit, or the same build inside
+        # shard_map) the packed4 column stack stops fusing and
+        # materializes one 128x-padded (C, T4, 1) temp per lane —
+        # measured 65 GB requested at C=481, a compile-time HBM OOM —
+        # while the default-device program fuses the stack at the same
+        # shape.  The table and the cached packed reads are handed to
+        # the sharded call AS-IS: the jit reshards device arrays ON
+        # DEVICE (an ICI scatter on a real pod, a no-op on a 1-device
+        # mesh).  Never `device_put` a device-RESIDENT array onto a
+        # NamedSharding here — through the axon tunnel that round-trips
+        # the ~570 MB table via the HOST: measured ~12 s per dispatch,
+        # ~80x the kernel itself (round-4 corpus run).
+        win4 = _diag_windows_packed4(
+            jnp.asarray(refs_p.astype(np.int32)), m_pack, t4
         )
-        # Built with refs already sharded (same layout-forcing + build
-        # parallelism reasoning as _sharded_windows).
-        win4 = _diag_windows_packed4(refs_sharded, m_pack, t4)
-        packed_sharded = jax.device_put(
-            pack["packed"],
-            NamedSharding(self.mesh, P("reads", None)),
-        )
+        packed_sharded = pack["packed"]
         ilv = m_pack % 128 == 0 and m_pack // 128 > 1
         si = np.asarray(pack["start_idx"])
         if ilv:
@@ -612,6 +655,7 @@ class ShardedBackend(BatchBackend):
             # Map the gather indices to the interleaved layout instead
             # of de-interleaving the kernel output on device.
             si = varlen_start_phys(si, m_pack)
+        # nb is host-resident — this device_put is a plain (tiny) upload.
         nb_sharded = jax.device_put(
             nb, NamedSharding(self.mesh, P("refs"))
         )
