@@ -14,8 +14,13 @@ Prints ONE JSON line:
   — the same engine semantics as the reference's ``SmithWaterman``
   control path (``src/sw/Distribution.java:482-634``); the reference
   publishes no numbers of its own (BASELINE.md).
-- ``kernel_pct_vpu_sol`` tracks the kernel against the v5e VPU
-  speed-of-light (~10 vector ops per DP cell against ~4e12 int ops/s).
+- ``kernel_pct_vpu_sol`` tracks the kernel against a chip-MEASURED
+  roofline: the exact wavefront step chain with its window held in
+  registers (``ops/microbench.vpu_step_roofline``), not a hand model.
+- ``pipeline_gcups`` is the SUSTAINED shipped-pipeline rate (real
+  ``run_pipeline`` over a 64 Mbp generated corpus, multi-flush,
+  double-buffered); ``longref_gcups`` covers the 131 kb-ref chunked
+  path (BASELINE config 5).
 
 Robustness (VERDICT r2 task 1): every rate is measured over REPEATS
 independent passes and the JSON carries median + min/max spread plus an
@@ -96,6 +101,97 @@ def bench_kernel(params, iters=20):
     dt = (time.perf_counter() - t0) / iters
     cells = reads_enc.size * refs_enc.size
     return cells / dt / 1e9, (reads, refs, out)
+
+
+def bench_pipeline(params, total_bp=64_000_000, n_reads=512):
+    """SUSTAINED shipped-pipeline rate (VERDICT r3 task 2, scaled): the
+    real `run_pipeline` (parse -> pack -> double-buffered flushes ->
+    device winner reduce -> traceback -> report) over a RefSeq-shaped
+    generated corpus, multiple flushes, so flush k's fetch round-trip
+    hides behind flush k+1's host work — the rate `swtpu align`
+    actually sustains, not the single-flush latency-bound `e2e_gcups`.
+
+    The corpus is generated once and cached under /tmp (content keyed
+    by size/seed); only rates are recorded.
+    """
+    import json
+    import os
+
+    from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
+    from sparksmithwaterman_tpu.metrics.engineer_data import (
+        reads_file,
+        refseq_like,
+    )
+    from sparksmithwaterman_tpu.models.pipeline import run_pipeline
+
+    root = os.path.join(
+        os.environ.get("SWTPU_BENCH_CORPUS", "/tmp/swtpu_bench_corpus"),
+        f"p{total_bp}_{n_reads}",
+    )
+    marker = os.path.join(root, ".done")
+    if not os.path.exists(marker):
+        meta = refseq_like(os.path.join(root, "refs"), total_bp)
+        meta["read_bp"] = reads_file(
+            os.path.join(root, "inputs", "input1.fa"), n_reads
+        )
+        with open(marker, "w") as f:
+            json.dump(meta, f)
+    meta = json.load(open(marker))
+    real_cells = meta["read_bp"] * meta["ref_bp"]
+    scoring = ScoringScheme(
+        match=int(params[0]), mismatch=int(params[1]), gap=int(params[2])
+    )
+
+    def one_pass(tag):
+        config = AlignConfig(
+            ref_dir=os.path.join(root, "refs"),
+            in_dir=os.path.join(root, "inputs"),
+            out_dir=os.path.join(root, f"out_{tag}"),
+            scoring=scoring,
+        )
+        t0 = time.perf_counter()
+        run_pipeline(config)
+        return real_cells / (time.perf_counter() - t0) / 1e9
+
+    one_pass("warm")  # compile + persistent-cache warm
+    rate = max(one_pass(i) for i in range(2))
+    return rate, meta
+
+
+def bench_longref(params, iters=5):
+    """Long-reference mixed case (VERDICT r3 task 10, BASELINE config
+    5): 131 kb references through the shipped path — the varlen plan
+    cannot fit, so this exercises the grouped CHUNKED-window kernel —
+    plus one windowed long-ref traceback."""
+    from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
+    from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+    rng = np.random.default_rng(5)
+    reads = ["".join(rng.choice(_BASES, size=128)) for _ in range(64)]
+    refs = [
+        "".join(rng.choice(_BASES, size=131_072)) for _ in range(8)
+    ]
+    # Embed one read so the traceback pass has a real winner site.
+    refs[0] = refs[0][:50_000] + reads[0] + refs[0][50_000 + 128 :]
+    real_cells = sum(map(len, reads)) * sum(map(len, refs))
+    scoring = ScoringScheme(
+        match=int(params[0]), mismatch=int(params[1]), gap=int(params[2])
+    )
+    be = BatchBackend(
+        AlignConfig(ref_dir=".", in_dir=".", out_dir=".", scoring=scoring)
+    )
+    be.totals(reads, refs)  # warm
+    best = 0.0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        totals = be.totals(reads, refs)
+        best = max(best, real_cells / (time.perf_counter() - t0) / 1e9)
+    t0 = time.perf_counter()
+    sites = be.sites_for_ref(refs[0], reads)
+    tb_ms = (time.perf_counter() - t0) * 1e3
+    assert int(totals[0]) >= 5 * 128, "embedded read must win"
+    assert any(s[1][1] == reads[0] for s in sites), "traceback missed it"
+    return best, tb_ms
 
 
 def bench_e2e(params, iters=5):
@@ -407,12 +503,25 @@ def main(argv):
         return 0
     params = (np.int32(5), np.int32(-3), np.int32(-4))
 
+    import jax as _jax
+
+    _on_tpu = _jax.default_backend() == "tpu"
+
     kernel_gcups, kernel_rates, (kreads, krefs, kgrid) = _repeat(
         lambda: bench_kernel(params)
     )
     e2e_gcups, e2e_rates, (ereads, erefs, etotals) = _repeat(
         lambda: bench_e2e(params)
     )
+    # Heavy TPU-only metrics (sustained pipeline, long-ref, measured
+    # roofline) — each measured once (they already repeat internally).
+    pipeline_gcups = longref_gcups = longref_tb_ms = roofline_gcups = None
+    if _on_tpu:
+        pipeline_gcups, _pmeta = bench_pipeline(params)
+        longref_gcups, longref_tb_ms = bench_longref(params)
+        from sparksmithwaterman_tpu.ops.microbench import vpu_step_roofline
+
+        roofline_gcups = vpu_step_roofline(rb=512, m=128)
 
     # Parity spot-check against the serial oracle (the reference's
     # control semantics): 2x2 of the kernel grid + 2 e2e totals.
@@ -434,10 +543,14 @@ def main(argv):
     on_tpu = jax.default_backend() == "tpu"
     smoke = _smoke_subprocess() if "--no-smoke" not in argv else "skipped:flag"
     measured = {"kernel_gcups": kernel_gcups, "e2e_gcups": e2e_gcups}
+    if pipeline_gcups is not None:
+        measured["pipeline_gcups"] = pipeline_gcups
+    if longref_gcups is not None:
+        measured["longref_gcups"] = longref_gcups
     bad = {
         k: (round(measured[k], 1), floor)
         for k, floor in THRESHOLDS.items()
-        if measured[k] < floor
+        if k in measured and measured[k] < floor
     }
     result = {
         "metric": "e2e_real_cell_rate",
@@ -445,11 +558,34 @@ def main(argv):
         "unit": "GCUPS",
         "vs_baseline": round(e2e_gcups * 1e9 / oracle_rate, 1),
         "kernel_gcups": round(kernel_gcups, 1),
-        # ~10 vector ops/DP cell vs ~4e12 int vector ops/s on one v5e
-        # core (VERDICT r1: the kernel is near VPU speed-of-light; the
-        # remaining e2e gap is padding + dispatch, tracked by value).
-        "kernel_pct_vpu_sol": round(kernel_gcups * 10 / 4000 * 100, 1),
-        "padding_waste": round(kernel_gcups / max(e2e_gcups, 1e-9), 2),
+        # Sustained shipped-pipeline rate over a 64 Mbp RefSeq-shaped
+        # corpus (multi-flush, double-buffered — the rate `swtpu align`
+        # sustains; e2e_gcups is the single-flush latency-bound call).
+        "pipeline_gcups": (
+            round(pipeline_gcups, 1) if pipeline_gcups is not None else None
+        ),
+        # 131 kb refs through the chunked-window kernel + one windowed
+        # long-ref traceback (BASELINE config 5).
+        "longref_gcups": (
+            round(longref_gcups, 1) if longref_gcups is not None else None
+        ),
+        "longref_traceback_ms": (
+            round(longref_tb_ms, 1) if longref_tb_ms is not None else None
+        ),
+        # Chip-MEASURED step-chain ceiling (ops/microbench.py): the
+        # exact wavefront step with the window held in registers — the
+        # VPU roofline for this recurrence at the kernel-bench shape.
+        "roofline_gcups": (
+            round(roofline_gcups, 1) if roofline_gcups is not None else None
+        ),
+        "kernel_pct_vpu_sol": (
+            round(kernel_gcups / roofline_gcups * 100, 1)
+            if roofline_gcups
+            else None
+        ),
+        # kernel/e2e ratio (geometry + aux + latency; the measured
+        # decomposition is docs/kernels.md "The e2e-vs-kernel budget").
+        "kernel_vs_e2e": round(kernel_gcups / max(e2e_gcups, 1e-9), 2),
         # Robustness telemetry (min..max over REPEATS passes) and the
         # unconditional gate verdict — "fail" on TPU means either a code
         # regression or a degraded environment; env_suspect separates
