@@ -416,11 +416,21 @@ class BatchBackend:
                         [len(ref_seqs[i]) for i in chunk], np.int32
                     )
                     total_cells += pack["read_bp"] * int(lens.sum())
+                    # Canonical chunk shape per length tier: a TAIL
+                    # chunk pads up to the tier's full chunk size (pad
+                    # refs cost ONE loop body each).  Without this,
+                    # every flush of a corpus-scale run mints fresh
+                    # tail (C, n_pad) compile shapes — measured
+                    # hundreds of seconds of compile-service round
+                    # trips over a 1 Gbp corpus.  min(len(order), ...)
+                    # keeps small total ref sets (e.g. the bench e2e
+                    # workload) at their own ladder shape.
+                    c_target = min(c_block, len(order))
                     pending.append(
                         (
                             chunk,
                             self._packed_col_sums_varlen(
-                                pack, refs_enc, lens
+                                pack, refs_enc, lens, c_target=c_target
                             ),
                         )
                     )
@@ -625,11 +635,16 @@ class BatchBackend:
         return packed_col_sums(lane, pack["start_idx"])
 
     def _packed_col_sums_varlen(
-        self, pack: dict, refs_enc: np.ndarray, lens: np.ndarray
+        self, pack: dict, refs_enc: np.ndarray, lens: np.ndarray,
+        c_target: int = 0,
     ):
         """(C_pad,) per-ref column sums for one packed read chunk vs a
         MIXED-length ref chunk (one varlen dispatch; see
-        ``ops.pallas_score.pallas_lane_best_packed_varlen``)."""
+        ``ops.pallas_score.pallas_lane_best_packed_varlen``).
+
+        ``c_target``: pad the ref count at least this far (ladder-
+        quantized) so tail chunks reuse their tier's full-chunk compile
+        shape — see the canonical-shape note in ``_dispatch_cols``."""
         from sparksmithwaterman_tpu.ops.packing import packed_col_sums
         from sparksmithwaterman_tpu.ops.pallas_score import (
             pallas_lane_best_packed_varlen,
@@ -644,7 +659,7 @@ class BatchBackend:
             # window form still works — correctness over speed.
             return self._packed_col_sums(pack, refs_enc)
         c = refs_enc.shape[0]
-        c_pad = _quantize_15(max(c, 8), 8)
+        c_pad = _quantize_15(max(c, c_target, 8), 8)
         if c_pad != c:
             # Padding refs cost ONE loop body each (the varlen wrapper
             # pins nb=1 for lens==0 — all-REF_PAD windows score 0), so

@@ -595,11 +595,15 @@ class ShardedBackend(BatchBackend):
         )
 
     def _packed_col_sums_varlen(
-        self, pack: dict, refs_enc: np.ndarray, lens: np.ndarray
+        self, pack: dict, refs_enc: np.ndarray, lens: np.ndarray,
+        c_target: int = 0,
     ):
         """Sharded varlen dispatch: the round-3 hot path on the mesh
         (the single-device override would silently compute off-mesh —
         the round-1 defect class, same reasoning as _packed_col_sums).
+
+        ``c_target``: canonical tail-chunk padding, see the
+        single-device override.
         """
         from jax.sharding import NamedSharding
 
@@ -614,7 +618,7 @@ class ShardedBackend(BatchBackend):
         m_pack = pack["m_pack"]
         shard_rows = pack["rows"] // self._dr
         rb = self._pack_read_block(shard_rows, m_pack)
-        c_pad = _c_pad_fusable(refs_enc.shape[0], self._dc)
+        c_pad = _c_pad_fusable(max(refs_enc.shape[0], c_target), self._dc)
         refs_p = _pad_rows(refs_enc, c_pad, REF_PAD)
         lens_p = np.concatenate(
             [np.asarray(lens, np.int32),
@@ -643,8 +647,10 @@ class ShardedBackend(BatchBackend):
         # NamedSharding here — through the axon tunnel that round-trips
         # the ~570 MB table via the HOST: measured ~12 s per dispatch,
         # ~80x the kernel itself (round-4 corpus run).
+        # Upload the uint8 codes and widen ON DEVICE — a host-side
+        # astype(int32) quadruples the tunnel upload bytes per dispatch.
         win4 = _diag_windows_packed4(
-            jnp.asarray(refs_p.astype(np.int32)), m_pack, t4
+            jnp.asarray(refs_p).astype(jnp.int32), m_pack, t4
         )
         packed_sharded = pack["packed"]
         ilv = m_pack % 128 == 0 and m_pack // 128 > 1
