@@ -46,6 +46,11 @@ import numpy as np
 THRESHOLDS = {
     "kernel_gcups": 330.0,
     "e2e_gcups": 200.0,
+    # Sustained run_pipeline over the 64 Mbp generated corpus — measured
+    # 238-242 in round 4 (~10% margin).
+    "pipeline_gcups": 215.0,
+    # 131 kb refs via the chunked-window kernel — measured 54.8-54.9.
+    "longref_gcups": 45.0,
 }
 
 # Independent measurement passes per metric (each pass itself averages
@@ -186,8 +191,12 @@ def bench_longref(params, iters=5):
         t0 = time.perf_counter()
         totals = be.totals(reads, refs)
         best = max(best, real_cells / (time.perf_counter() - t0) / 1e9)
+    # Windowed long-ref traceback: a small read subset including the
+    # embedded winner — the longseq path re-fills windows PER READ with
+    # a host round trip each (~1.5 s/read through the tunnel), so 64
+    # reads would spend ~90 s measuring the same per-read cost 64x.
     t0 = time.perf_counter()
-    sites = be.sites_for_ref(refs[0], reads)
+    sites = be.sites_for_ref(refs[0], reads[:8])
     tb_ms = (time.perf_counter() - t0) * 1e3
     assert int(totals[0]) >= 5 * 128, "embedded read must win"
     assert any(s[1][1] == reads[0] for s in sites), "traceback missed it"
@@ -578,8 +587,16 @@ def main(argv):
         "roofline_gcups": (
             round(roofline_gcups, 1) if roofline_gcups is not None else None
         ),
+        # STEP-rate comparison: the kernel bench counts r*m*c*n cells
+        # but the wavefront executes (m+n-1)/n more diagonal steps than
+        # columns at its m=128/n=2048 shape; the roofline measures step
+        # throughput, so compare step rates.
         "kernel_pct_vpu_sol": (
-            round(kernel_gcups / roofline_gcups * 100, 1)
+            round(
+                kernel_gcups * (128 + 2048 - 1) / 2048
+                / roofline_gcups * 100,
+                1,
+            )
             if roofline_gcups
             else None
         ),

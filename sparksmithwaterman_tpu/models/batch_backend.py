@@ -730,6 +730,12 @@ class BatchBackend:
             merged.sort(key=lambda s: s[0])
             return merged
         read_groups = _group_by_padded_len(reads, self.read_bucket)
+        # PIPELINED: dispatch every chunk's on-device fill+trace first,
+        # start all host copies async, resolve after — per-chunk
+        # synchronous fetches serialized ~5 round trips each through a
+        # remote-TPU tunnel (measured 11.9 s to trace ONE 3.8 kb winner
+        # against 512 reads at corpus scale; ~0.6 s pipelined).
+        dispatched = []  # (chunk, m_pad, reads_enc, refs_enc, outputs)
         for m_pad, read_idx in sorted(read_groups.items()):
             b_block = max(1, _FILL_BUDGET // max(1, m_pad * n_pad))
             for start in range(0, len(read_idx), b_block):
@@ -744,7 +750,7 @@ class BatchBackend:
                 # On-device traceback: only (cells, begins, path codes)
                 # cross to the host.  Pairs whose tie count overflows the
                 # capacity fall back to the full-matrix host walk.
-                best, counts, cells, begins, codes = fill_and_trace(
+                outs = fill_and_trace(
                     reads_enc,
                     refs_enc,
                     *self._params,
@@ -752,40 +758,49 @@ class BatchBackend:
                     cap=path_cap(m_pad),
                     tie_semantics=self.scoring.tie_semantics,
                 )
-                best, counts = np.asarray(best), np.asarray(counts)
-                cells, begins = np.asarray(cells), np.asarray(begins)
-                codes = np.asarray(codes)
-                overflow = [
-                    k
-                    for k in range(len(chunk))
-                    if best[k] > 0 and counts[k] > _TRACE_CAPACITY
-                ]
-                for k, ridx in enumerate(chunk):
-                    if k in overflow:
-                        continue
-                    per_read[ridx] = sites_from_trace(
-                        int(best[k]),
-                        int(counts[k]),
-                        cells[k],
-                        begins[k],
-                        codes[k],
-                        ref_seq,
-                        reads[ridx],
-                        self.scoring.gap_char,
+                dispatched.append((chunk, m_pad, reads_enc, refs_enc, outs))
+        for _, _, _, _, outs in dispatched:
+            for arr in outs:
+                try:
+                    arr.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-dependent
+                    break
+        for chunk, m_pad, reads_enc, refs_enc, outs in dispatched:
+            best, counts, cells, begins, codes = outs
+            best, counts = np.asarray(best), np.asarray(counts)
+            cells, begins = np.asarray(cells), np.asarray(begins)
+            codes = np.asarray(codes)
+            overflow = [
+                k
+                for k in range(len(chunk))
+                if best[k] > 0 and counts[k] > _TRACE_CAPACITY
+            ]
+            for k, ridx in enumerate(chunk):
+                if k in overflow:
+                    continue
+                per_read[ridx] = sites_from_trace(
+                    int(best[k]),
+                    int(counts[k]),
+                    cells[k],
+                    begins[k],
+                    codes[k],
+                    ref_seq,
+                    reads[ridx],
+                    self.scoring.gap_char,
+                )
+            if overflow:
+                h, dirs = fill_pairs(
+                    reads_enc,
+                    refs_enc,
+                    *self._params,
+                    tie_semantics=self.scoring.tie_semantics,
+                )
+                h, dirs = np.asarray(h), np.asarray(dirs)
+                for k in overflow:
+                    ridx = chunk[k]
+                    per_read[ridx] = sites_from_fill(
+                        h[k], dirs[k], ref_seq, reads[ridx], self.scoring.gap_char
                     )
-                if overflow:
-                    h, dirs = fill_pairs(
-                        reads_enc,
-                        refs_enc,
-                        *self._params,
-                        tie_semantics=self.scoring.tie_semantics,
-                    )
-                    h, dirs = np.asarray(h), np.asarray(dirs)
-                    for k in overflow:
-                        ridx = chunk[k]
-                        per_read[ridx] = sites_from_fill(
-                            h[k], dirs[k], ref_seq, reads[ridx], self.scoring.gap_char
-                        )
         merged: List[Site] = []
         for sites in per_read:  # read order (Distribution.java:589-597)
             merged.extend(sites)

@@ -24,7 +24,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _roofline_kernel(reads_ref, out_ref, *, steps, match, mismatch, gap):
+def _roofline_kernel(
+    reads_ref, out_ref, *, steps, match, mismatch, gap, unroll
+):
     from sparksmithwaterman_tpu.ops.pallas_score import (
         _START_BIT,
         _make_step,
@@ -37,8 +39,6 @@ def _roofline_kernel(reads_ref, out_ref, *, steps, match, mismatch, gap):
     startm = raw >= _START_BIT
     step = _make_step(reads_block, startm, match, mismatch, gap, dt)
     refwin = reads_ref[pl.ds(0, 1), :] & 255  # any (1, M) register row
-
-    unroll = 16
 
     def body(t, carry):
         d1, r1, r2, best = carry
@@ -63,14 +63,15 @@ def _roofline_kernel(reads_ref, out_ref, *, steps, match, mismatch, gap):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("steps", "match", "mismatch", "gap")
+    jax.jit, static_argnames=("steps", "match", "mismatch", "gap", "unroll")
 )
-def _roofline_call(reads_i, *, steps, match, mismatch, gap):
+def _roofline_call(reads_i, *, steps, match, mismatch, gap, unroll):
     rb, m = reads_i.shape
     return pl.pallas_call(
         functools.partial(
             _roofline_kernel,
             steps=steps, match=match, mismatch=mismatch, gap=gap,
+            unroll=unroll,
         ),
         out_shape=jax.ShapeDtypeStruct((rb, m), jnp.int32),
     )(reads_i)
@@ -79,20 +80,26 @@ def _roofline_call(reads_i, *, steps, match, mismatch, gap):
 def vpu_step_roofline(
     rb: int = 248,
     m: int = 256,
-    steps: int = 8192,
-    iters: int = 10,
+    steps: int = 131_072,
+    iters: int = 20,
+    unroll: int = 64,
     params=(5, -3, -4),
 ) -> float:
     """Measured step-chain ceiling in (padded) GCUPS at kernel shapes.
 
-    Defaults mirror the e2e hot dispatch (rows=248, m=256).  Fenced by a
+    ``steps`` must be large enough that one call runs tens of ms of
+    pure VPU work (at 8k steps the measurement was dispatch-latency
+    bound through the remote tunnel and read 3x BELOW the real kernel)
+    and ``unroll`` matches the real kernels' 64 (a 16-step body
+    measured ~13% below the kernel itself — too little ILP to be a
+    ceiling).  Defaults mirror the e2e hot dispatch.  Fenced by a
     tiny host fetch of the last queued output (remote-tunnel contract).
     """
     rng = np.random.default_rng(0)
     reads_i = jnp.asarray(rng.integers(2, 6, size=(rb, m)), jnp.int32)
     kw = dict(
         steps=steps, match=int(params[0]), mismatch=int(params[1]),
-        gap=int(params[2]),
+        gap=int(params[2]), unroll=unroll,
     )
     out = _roofline_call(reads_i, **kw)
     float(np.asarray(out)[0, 0])  # compile + settle

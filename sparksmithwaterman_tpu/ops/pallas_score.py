@@ -563,8 +563,8 @@ def _carry_call(
     )(reads_i, ents)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "t4"))
-def _diag_windows_packed4(refs_i, m: int, t4: int):
+@functools.partial(jax.jit, static_argnames=("m", "t4", "ilv"))
+def _diag_windows_packed4(refs_i, m: int, t4: int, ilv: bool = False):
     """(C, N) int32 refs -> (C, T4, M) windows BYTE-PACKED 4 diagonals
     per int32 word along T: word[c, t, i] packs win[c, 4t+k, i] (base
     codes are <= 255) into byte k.
@@ -601,7 +601,18 @@ def _diag_windows_packed4(refs_i, m: int, t4: int):
         p4, ((0, 0), (0, 1)), constant_values=jnp.uint32(0x01010101)
     )  # one spare word of REF_PAD bytes for the r>0 carry slice
     cols = []
-    for i in range(m):
+    # ``ilv``: emit the columns directly in the `_ilv_lanes` physical
+    # order (phys p = hh*128 + l holds logical lane l*h + hh) — a pure
+    # permutation of this python list, so the interleaved table costs
+    # the SAME build as the plain one and the separate `_ilv_jit` pass
+    # (~4 ms + a dispatch round-trip per flush) disappears.
+    h = m // 128
+    order = (
+        [(p % 128) * h + p // 128 for p in range(m)]
+        if ilv and m % 128 == 0 and h > 1
+        else range(m)
+    )
+    for i in order:
         x = m - 1 - i  # byte offset of lane i's diagonal-0 base
         r = x % 4
         q0 = x // 4
@@ -904,15 +915,16 @@ def pallas_lane_best_packed_varlen(
     # tiles; any tile count h >= 2 (incl. non-powers-of-two, e.g.
     # m=384 -> h=3) is handled by the generalized tile-permute shifts.
     ilv = m % 128 == 0 and m // 128 > 1
-    win4 = _diag_windows_packed4(jnp.asarray(refs).astype(jnp.int32), m, t4)
+    # The window builds DIRECTLY in the interleaved lane order (a pure
+    # permutation of the build's column list — same cost as the plain
+    # layout, no separate transpose pass).  The packed reads still take
+    # the standalone `_ilv_jit` (tiny, and fusing a lane transpose into
+    # other jits wedges the remote XLA compile helper at these shapes).
+    win4 = _diag_windows_packed4(
+        jnp.asarray(refs).astype(jnp.int32), m, t4, ilv=ilv
+    )
     packed_i = jnp.asarray(packed, jnp.int32)
     if ilv:
-        # Interleave/de-interleave run as their own jits: fusing the
-        # lane transpose into the window-build or kernel jit sends the
-        # XLA compile helper into multi-minute/hung compiles at
-        # (C=72, T4=1088, M=256)-class shapes; standalone they compile
-        # in ~1 min once and cost one extra HBM pass (~1 ms).
-        win4 = _ilv_jit(win4)
         packed_i = _ilv_jit(packed_i)
     out = _varlen_call(
         nb, packed_i, win4,
@@ -2192,7 +2204,9 @@ def _band_call(
     return lane[0], bout[0]
 
 
-def band_plan_windows(seg_i, m: int, read_block: int, unroll: int = 64):
+def band_plan_windows(
+    seg_i, m: int, read_block: int, unroll: int = 64, ilv: bool = False
+):
     """Byte-packed window + plan for one segment batch: returns
     (win4 (C, T4, M), unroll, words_per_chunk, ns).
 
@@ -2209,7 +2223,7 @@ def band_plan_windows(seg_i, m: int, read_block: int, unroll: int = 64):
     steps_per_chunk = 4 * words
     num_chunks = max(1, -(-diags // steps_per_chunk))
     t4 = num_chunks * words
-    win4 = _diag_windows_packed4(seg_i, m, t4)
+    win4 = _diag_windows_packed4(seg_i, m, t4, ilv=ilv)
     return win4, u, words, ns
 
 
@@ -2242,12 +2256,13 @@ def pallas_band_lane_best(
         )
     match, mismatch, gap = int(match), int(mismatch), int(gap)
     seg_i = jnp.asarray(seg, jnp.int32).reshape(1, -1)
-    win4, u, words, ns = band_plan_windows(seg_i, m, read_block, unroll)
+    ilv = m % 128 == 0 and m // 128 > 1
+    win4, u, words, ns = band_plan_windows(
+        seg_i, m, read_block, unroll, ilv=ilv
+    )
     packed_i = jnp.asarray(packed, jnp.int32)
     bnd_i = jnp.asarray(bnd, jnp.int32)
-    ilv = m % 128 == 0 and m // 128 > 1
     if ilv:
-        win4 = _ilv_jit(win4)
         packed_i = _ilv_jit(packed_i)
         bnd_i = _ilv_jit(bnd_i)
     lane, bout = _band_call(

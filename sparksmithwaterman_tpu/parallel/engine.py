@@ -649,14 +649,15 @@ class ShardedBackend(BatchBackend):
         # ~80x the kernel itself (round-4 corpus run).
         # Upload the uint8 codes and widen ON DEVICE — a host-side
         # astype(int32) quadruples the tunnel upload bytes per dispatch.
+        # The window builds directly in the interleaved lane order (no
+        # separate transpose pass; see _diag_windows_packed4).
+        ilv = m_pack % 128 == 0 and m_pack // 128 > 1
         win4 = _diag_windows_packed4(
-            jnp.asarray(refs_p).astype(jnp.int32), m_pack, t4
+            jnp.asarray(refs_p).astype(jnp.int32), m_pack, t4, ilv=ilv
         )
         packed_sharded = pack["packed"]
-        ilv = m_pack % 128 == 0 and m_pack // 128 > 1
         si = np.asarray(pack["start_idx"])
         if ilv:
-            win4 = _ilv_jit(win4)
             packed_sharded = _ilv_jit(packed_sharded)
             # Map the gather indices to the interleaved layout instead
             # of de-interleaving the kernel output on device.

@@ -207,7 +207,6 @@ def _seqp_band_call(
     from sparksmithwaterman_tpu.ops.pallas_score import (
         _band_call,
         _diag_windows_packed4,
-        _ilv_lanes,
     )
 
     rows, m = packed_i.shape
@@ -220,10 +219,8 @@ def _seqp_band_call(
         size = jax.lax.psum(1, axis)
         c = refs_seg.shape[0]
         win4 = _diag_windows_packed4(
-            refs_seg.astype(jnp.int32), m, t4
-        )  # (C, T4, M) for THIS chip's segments
-        if interleaved:
-            win4 = _ilv_lanes(win4)
+            refs_seg.astype(jnp.int32), m, t4, ilv=interleaved
+        )  # (C, T4, M) for THIS chip's segments, kernel lane order
         rounds = c + size - 1
         perm = [(i, i + 1) for i in range(size - 1)]
         r = si_phys.shape[0]
