@@ -191,12 +191,12 @@ def bench_longref(params, iters=5):
         t0 = time.perf_counter()
         totals = be.totals(reads, refs)
         best = max(best, real_cells / (time.perf_counter() - t0) / 1e9)
-    # Windowed long-ref traceback: a small read subset including the
-    # embedded winner — the longseq path re-fills windows PER READ with
-    # a host round trip each (~1.5 s/read through the tunnel), so 64
-    # reads would spend ~90 s measuring the same per-read cost 64x.
+    # Windowed long-ref traceback, ALL 64 reads: the round-4 batched
+    # longseq path (one argmax pass + batched window fills + batched
+    # tie fallback) traces them in ~1 s hot — the per-read form took
+    # ~65 s on the same workload.
     t0 = time.perf_counter()
-    sites = be.sites_for_ref(refs[0], reads[:8])
+    sites = be.sites_for_ref(refs[0], reads)
     tb_ms = (time.perf_counter() - t0) * 1e3
     assert int(totals[0]) >= 5 * 128, "embedded read must win"
     assert any(s[1][1] == reads[0] for s in sites), "traceback missed it"

@@ -700,30 +700,38 @@ class BatchBackend:
         if not reads:
             return []
         n_pad = _pad_len(len(ref_seq), self.ref_bucket) if ref_seq else self.ref_bucket
-        # Long-reference mode: a single pair's fill would blow the budget;
-        # find max cells on device and re-fill only bounded windows
-        # (ops/longseq.py, BASELINE config 5).
+        # Long-reference mode: find max cells on device and re-fill only
+        # bounded windows (ops/longseq.py, BASELINE config 5).  Taken
+        # whenever fewer than 8 pairs fit one full-matrix fill budget —
+        # at that point the normal path degenerates to per-read
+        # dispatches of O(m*n) lax fills (a 131 kb ref sat EXACTLY on
+        # the old `n*m > budget` boundary and took the normal path at
+        # b_block=1: 64 fills of 134 M cells each, ~65 s for one
+        # winner's traceback).
         max_m = max((len(r) for r in reads), default=0)
-        if max_m and n_pad * _pad_len(max_m, self.read_bucket) > _FILL_BUDGET:
+        if max_m and 8 * n_pad * _pad_len(max_m, self.read_bucket) > _FILL_BUDGET:
             from sparksmithwaterman_tpu.ops.longseq import (
                 find_max_cells_batched,
-                sites_for_pair_long,
+                sites_for_ref_long_batched,
             )
 
             # One batched kernel pass finds every read's max cells
-            # (vs R sequential row-scan dispatches).
+            # (vs R sequential row-scan dispatches), then ALL reads'
+            # max-cell windows fill in batched dispatches with only the
+            # int8 direction planes fetched (the per-read loop paid one
+            # dispatch + fetch round trip per read — ~1.1 s each
+            # through a remote-TPU tunnel).
             cell_lists = find_max_cells_batched(
                 list(reads), ref_seq, self._params,
                 backend="pallas" if self.use_pallas else "scan",
             )
-            for ridx, read in enumerate(reads):
-                per_read[ridx] = sites_for_pair_long(
-                    ref_seq, read, self._params,
-                    gap_char=self.scoring.gap_char,
-                    ref_bucket=self.ref_bucket,
-                    max_cells=cell_lists[ridx],
-                    tie_semantics=self.scoring.tie_semantics,
-                )
+            per_read = sites_for_ref_long_batched(
+                ref_seq, list(reads), self._params,
+                gap_char=self.scoring.gap_char,
+                ref_bucket=self.ref_bucket,
+                cell_lists=cell_lists,
+                tie_semantics=self.scoring.tie_semantics,
+            )
             merged: List[Site] = []
             for sites in per_read:
                 merged.extend(sites)

@@ -57,6 +57,40 @@ def _max_cells_device(read_enc, ref_enc, match, mismatch, gap, capacity: int):
     return best, count, cells.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _max_cells_device_batch(
+    reads_enc, ref_enc, match, mismatch, gap, capacity: int
+):
+    """Batched `_max_cells_device`: (R, m) reads vs ONE ref.
+
+    Returns (best (R,), count (R,), cells (R, capacity, 2)).  Pad rows
+    (read code 0 matches nothing) strictly decay for best > 0, so they
+    never contribute max cells."""
+    n = ref_enc.shape[-1]
+    r = reads_enc.shape[0]
+    ramp = gap * jnp.arange(n, dtype=jnp.int32)
+    ref_i = ref_enc.astype(jnp.int32)[None, :]  # (1, N)
+
+    def body(h_prev, read_col):  # read_col: (R,)
+        sub = _sub_scores(
+            ref_i, read_col[:, None].astype(jnp.int32), match, mismatch
+        )
+        h, _, _ = _row_update(h_prev, sub, gap, ramp)
+        return h, h
+
+    _, h_all = jax.lax.scan(
+        body, jnp.zeros((r, n), jnp.int32), reads_enc.T
+    )  # (m, R, n)
+    best = jnp.max(h_all, axis=(0, 2))
+    eq = h_all == best[None, :, None]
+    count = jnp.sum(eq, axis=(0, 2))
+    eqt = jnp.swapaxes(eq, 0, 1)  # (R, m, n)
+    cells = jax.vmap(
+        lambda e: jnp.argwhere(e, size=capacity, fill_value=-1)
+    )(eqt)
+    return best, count, cells.astype(jnp.int32)
+
+
 def find_max_cells(
     read_seq: str, ref_seq: str, params, capacity: int = 1024
 ) -> Tuple[int, np.ndarray]:
@@ -133,7 +167,8 @@ def find_max_cells_batched(
     bestd = np.asarray(bestd)[: len(reads), 0]
     count = np.asarray(count)[: len(reads), 0]
 
-    out: List[Tuple[int, np.ndarray]] = []
+    out: List[Tuple[int, np.ndarray] | None] = []
+    ties: List[int] = []
     for ridx, read in enumerate(reads):
         b = int(best[ridx].max())
         if b == 0:
@@ -141,12 +176,36 @@ def find_max_cells_batched(
             continue
         lanes = np.flatnonzero(best[ridx] == b)
         if (count[ridx, lanes] != 1).any():
-            out.append(find_max_cells(read, ref_seq, params))
+            out.append(None)
+            ties.append(ridx)
             continue
         cells = np.stack(
             [lanes, bestd[ridx, lanes] - lanes], axis=1
         ).astype(np.int32)
         out.append((b, cells))
+    if ties:
+        # Exact-position fallback for reads with an in-lane tie,
+        # BATCHED: the per-read scan costs seconds each against a
+        # 131 kb ref (measured ~2.5 s/read; random low-score reads tie
+        # often), so groups of reads share one scan.  Group size bounds
+        # the (m, R, n) H stack (~270 MB at m=128, R=4, n=131k).
+        group = max(1, (1 << 26) // max(1, m_pad * len(ref_seq)))
+        ref_full = encode_batch([ref_seq], len(ref_seq), REF_PAD)[0]
+        for start in range(0, len(ties), group):
+            g = ties[start : start + group]
+            genc = encode_batch([reads[i] for i in g], m_pad, READ_PAD)
+            capacity = 1024
+            while True:
+                b_g, c_g, cells_g = _max_cells_device_batch(
+                    genc, ref_full, *params, capacity=capacity
+                )
+                b_g, c_g = np.asarray(b_g), np.asarray(c_g)
+                if (c_g <= capacity).all():
+                    break
+                capacity *= 2
+            cells_g = np.asarray(cells_g)
+            for k, ridx in enumerate(g):
+                out[ridx] = (int(b_g[k]), cells_g[k][: int(c_g[k])])
     return out
 
 
@@ -229,6 +288,95 @@ def sites_for_pair_long(
         )
         sites.append((begin_w + j - w_pad, aligned))
     return sites
+
+
+def sites_for_ref_long_batched(
+    ref_seq: str,
+    reads: List[str],
+    params,
+    *,
+    gap_char: str = "_",
+    ref_bucket: int = 256,
+    cell_lists: List[Tuple[int, np.ndarray]],
+    tie_semantics: str = "serial",
+) -> List[List[Site]]:
+    """Per-read site lists vs ONE long reference, with EVERY read's
+    max-cell windows filled in batched dispatches.
+
+    The per-read :func:`sites_for_pair_long` loop costs one window-fill
+    dispatch + one fetch round trip PER READ (measured ~1.1 s/read
+    through a remote-TPU tunnel — 90 s to trace 64 reads against a
+    131 kb reference); this form collects all reads' windows into
+    shape-quantized batches, fetches only the int8 direction planes
+    (the score plane is never consulted by the walk), and walks on the
+    host.  Site order per read = row-major max-cell discovery, same as
+    the per-read path.
+    """
+    n = len(ref_seq)
+    out: List[List[Site]] = [[] for _ in reads]
+    m_max = max((len(r) for r in reads), default=0)
+    if m_max == 0 or n == 0:
+        return out
+    w = window_width(m_max, n)
+    w_pad = max(ref_bucket, -(-w // ref_bucket) * ref_bucket)
+
+    # (read_idx, end_col_1based) per window, in per-read row-major
+    # max-cell order.
+    jobs: List[Tuple[int, int, int]] = []  # (ridx, i_1based, end_j)
+    for ridx, read in enumerate(reads):
+        best, cells = cell_lists[ridx]
+        if best == 0:
+            from sparksmithwaterman_tpu.ops.traceback import (
+                degenerate_sites,
+            )
+
+            out[ridx] = degenerate_sites(len(read), n)
+            continue
+        for ci, cj in cells:
+            jobs.append((ridx, int(ci) + 1, int(cj) + 1))
+
+    if not jobs:
+        return out
+
+    sites_per_job: List[Site] = []
+    # One batched fill per ~quantized job block (8 * 2^k rows).
+    block = 512
+    dispatched = []
+    for start in range(0, len(jobs), block):
+        chunk = jobs[start : start + block]
+        k_q = 8
+        while k_q < len(chunk):
+            k_q *= 2
+        windows = np.full((k_q, w_pad), REF_PAD, np.uint8)
+        read_rows = [""] * k_q
+        for t, (ridx, _i, j) in enumerate(chunk):
+            j0 = max(0, j - w)
+            windows[t, w_pad - (j - j0) :] = encode_batch(
+                [ref_seq[j0:j]], j - j0, REF_PAD
+            )[0]
+            read_rows[t] = reads[ridx]
+        read_win = encode_batch(read_rows, m_max, READ_PAD)
+        _h, dirs = fill_pairs(
+            read_win, jnp.asarray(windows), *params,
+            tie_semantics=tie_semantics,
+        )
+        dispatched.append((chunk, dirs))
+    for _, dirs in dispatched:
+        try:
+            dirs.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend-dependent
+            break
+    for chunk, dirs in dispatched:
+        dirs = np.asarray(dirs)
+        for t, (ridx, i, j) in enumerate(chunk):
+            begin_w, aligned = _walk_window(
+                dirs[t], i, w_pad, ref_seq, j - w_pad,
+                reads[ridx], gap_char,
+            )
+            sites_per_job.append((begin_w + j - w_pad, aligned))
+    for (ridx, _i, _j), site in zip(jobs, sites_per_job):
+        out[ridx].append(site)
+    return out
 
 
 def _walk_window(dirs, i, j, ref_seq, col_offset, read_seq, gap_char):

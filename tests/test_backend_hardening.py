@@ -63,6 +63,56 @@ def test_vmem_retry_halves_on_scoped_vmem():
     assert calls[-1] == 16
 
 
+def test_c_pad_fusable_shapes():
+    """Sharded ref-count padding must land on shapes whose window-build
+    column stack FUSES (measured on v5e: above 256 only multiples of
+    128 compile; 448..576 non-multiples requested 65 GB of padded
+    temps) while staying a multiple of the 8*dc shard quantum."""
+    from sparksmithwaterman_tpu.parallel.engine import _c_pad_fusable
+
+    for c in (1, 7, 100, 130, 256, 481, 630, 910, 2730):
+        for dc in (1, 2, 4, 8):
+            p = _c_pad_fusable(c, dc)
+            assert p >= c and p % (8 * dc) == 0, (c, dc, p)
+            if p > 256:
+                assert p % 128 == 0, (c, dc, p)
+    assert _c_pad_fusable(481, 1) == 512
+    assert _c_pad_fusable(100, 1) == 128
+
+
+def test_varlen_tail_chunks_use_canonical_shape(monkeypatch):
+    """At corpus scale every tier's tail chunk must reuse the tier's
+    full-chunk compile shape (c_target padding) — per-flush unique tail
+    shapes cost a compile-service round trip each (round-4 corpus
+    finding).  Small total ref sets keep their own ladder shape."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models import batch_backend as bb
+
+    be = bb.BatchBackend(AlignConfig(ref_dir=".", in_dir=".", out_dir="."))
+    be.use_pallas = True  # force the varlen dispatch branch off-TPU
+    seen = []
+
+    def fake_varlen(pack, refs_enc, lens, c_target=0):
+        c_pad = bb._quantize_15(max(refs_enc.shape[0], c_target, 8), 8)
+        seen.append((refs_enc.shape[0], c_target, c_pad))
+        return np.zeros(refs_enc.shape[0], np.int64)
+
+    monkeypatch.setattr(be, "_packed_col_sums_varlen", fake_varlen)
+    # Shrink the table budget so 40 equal-length refs split into full
+    # chunks + a tail.
+    monkeypatch.setattr(bb, "_TABLE_BUDGET", 1 << 18)
+    rng = np.random.default_rng(3)
+    bases = np.array(list("ACGT"))
+    reads = ["".join(rng.choice(bases, size=30))]
+    refs = ["".join(rng.choice(bases, size=200)) for _ in range(43)]
+    be.totals(reads, refs)
+    assert len(seen) > 1, "workload must split into several chunks"
+    full_pad = seen[0][2]
+    # A short tail chunk exists and still resolves to the full shape.
+    assert any(c < full_pad for c, _, _ in seen), seen
+    assert all(pad == full_pad for _, _, pad in seen), seen
+
+
 def test_pack_cache_len_tripwire():
     """Same list object, mutated in place: the identity check alone
     would silently reuse stale packed rows; the len tripwire repacks."""

@@ -79,6 +79,30 @@ def test_backend_long_path_matches_serial(make_seq):
     assert got == want
 
 
+def test_backend_long_path_batched_mixed_reads(make_seq):
+    """The round-4 batched long-ref traceback (all reads' windows in
+    one dispatch set): mixed read lengths, several sites each, plus a
+    degenerate all-mismatch read — oracle-exact per read."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
+
+    rng = np.random.default_rng(29)
+    r1, r2 = make_seq(30), make_seq(14)
+    base = _embed(rng, 70_000, r1, [500, 40_000])
+    ref = base[:20_000] + r2 + base[20_000 + len(r2) :]
+    reads = [r1, r2, make_seq(9), "A" * 12]
+    backend = BatchBackend(
+        AlignConfig(ref_dir=".", in_dir=".", out_dir=".",
+                    read_bucket=256, ref_bucket=256)
+    )
+    got = backend.sites_for_ref(ref, reads)
+    want = []
+    for read in reads:
+        want.extend(oracle.opt_alignments(ref, read)[1])
+    want.sort(key=lambda s: s[0])
+    assert got == want
+
+
 @pytest.mark.parametrize("backend", ["scan", "pallas"])
 def test_find_max_cells_batched_parity(make_seq, backend):
     from sparksmithwaterman_tpu.ops.longseq import find_max_cells_batched
