@@ -572,7 +572,15 @@ class BatchBackend:
                 -(-est_rows // 8) * 8, m_pack
             )
             row_multiple = self._pack_row_multiple
-            if est_rows >= rb_t > row_multiple:
+            # lcm-round the row count toward the kernel's preferred
+            # block ONLY for multi-block packs (rounding adds < rb_t
+            # rows, ~free at est_rows >> rb_t).  At est_rows ~ rb_t a
+            # single natural block is already ideal — the old
+            # `est_rows >= rb_t` trigger DOUBLED a 248-row pack to 464
+            # (2.0x lane waste) the moment read bp crossed the est_rows
+            # == rb_t edge: the round-4 corpus read set sat one row
+            # past it and every flush paid 2x padded kernel work.
+            if est_rows >= 4 * rb_t and rb_t > row_multiple:
                 row_multiple = int(
                     rb_t * row_multiple // np.gcd(rb_t, row_multiple)
                 )

@@ -113,6 +113,26 @@ def test_varlen_tail_chunks_use_canonical_shape(monkeypatch):
     assert all(pad == full_pad for _, _, pad in seen), seen
 
 
+def test_single_block_pack_never_doubles():
+    """Lane-fill regression: a read set whose bp sits just past the
+    est_rows == rb_t edge must NOT round its rows up to 2x (the round-4
+    1 Gbp corpus paid 2.0x padded kernel work per flush from this).
+    The lcm rounding may only engage for multi-block packs."""
+    rng = np.random.default_rng(7)
+    bases = np.array(list("ACGT"))
+    for target_bp in (59_100, 59_534, 60_000, 61_000):
+        be = _backend()
+        reads = []
+        bp = 0
+        while bp < target_bp:
+            l = int(rng.integers(80, 151))
+            reads.append("".join(rng.choice(bases, size=l)))
+            bp += l
+        pack = be._pack_chunks(reads, 10**9)[0]
+        waste = pack["rows"] * pack["m_pack"] / bp
+        assert waste < 1.35, (target_bp, pack["rows"], waste)
+
+
 def test_pack_cache_len_tripwire():
     """Same list object, mutated in place: the identity check alone
     would silently reuse stale packed rows; the len tripwire repacks."""
