@@ -95,6 +95,19 @@ t0 = time.perf_counter()
 paths = run_pipeline(config, backend=backend)
 wall = time.perf_counter() - t0
 
+# Optional WARM pass (CORPUS_PASSES=2): same process, so the one-time
+# per-process compile/cache-load warmup (~250-330 s through the remote
+# compile tunnel, independent of corpus size) is excluded — the rate a
+# long-lived service process sustains.
+warm_wall = None
+if int(os.environ.get("CORPUS_PASSES", "1")) > 1:
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    paths = run_pipeline(config, backend=backend)
+    warm_wall = time.perf_counter() - t0
+
 real_cells = read_bp * meta["ref_bp"]
 report = open(paths[0]).read()
 exec_ms = int(report.split("Execution Time = ")[1].split(" ms")[0])
@@ -113,6 +126,10 @@ result = {
     "device_dispatch_s": round(dev.seconds, 1),
     "device_dispatch_frac": round(dev.seconds / wall, 3),
     "dispatch_calls": dev.calls,
+    "warm_wall_s": round(warm_wall, 1) if warm_wall else None,
+    "warm_sustained_gcups": (
+        round(real_cells / warm_wall / 1e9, 1) if warm_wall else None
+    ),
     "max_score_line": report.split("Maximum alignment score = ")[1].split("\n")[0],
 }
 print(json.dumps(result))

@@ -394,14 +394,38 @@ class BatchBackend:
             )
             for pack in packs:
                 m_pack = pack["m_pack"]
+                # Corpus-scale flushes (more refs than one table-budget
+                # chunk) use ONE global n_pad: every dispatch of the
+                # flush then shares a single (rows, C, t4) kernel shape
+                # and a single window-build shape.  Per-tier n_pads
+                # minted ~6 Mosaic + ~6 XLA shapes per corpus run, each
+                # costing a remote compile-service round trip per
+                # process (~244 s of warmup measured, 57% of a 1 Gbp
+                # run); the price is REF_PAD-wider encodes/uploads for
+                # short refs (~+0.3 s per 31 Mbp flush at ~65 MB/s) —
+                # the kernel itself runs per-ref loop bounds either
+                # way, so its time is unchanged.  Small ref sets keep
+                # the per-chunk n_pad (tight windows, one chunk).
+                n_pad_g = _quantize_15(
+                    max(self.ref_bucket, len(ref_seqs[order[0]])),
+                    self.ref_bucket,
+                )
+                words_g = max(1, (n_pad_g + m_pack) * m_pack // 4)
+                c_block_g = max(1, _TABLE_BUDGET // words_g)
+                canonical = len(order) > c_block_g
                 start = 0
                 while start < len(order):
-                    n_pad = _quantize_15(
-                        max(self.ref_bucket, len(ref_seqs[order[start]])),
-                        self.ref_bucket,
-                    )
-                    words_per_ref = max(1, (n_pad + m_pack) * m_pack // 4)
-                    c_block = max(1, _TABLE_BUDGET // words_per_ref)
+                    if canonical:
+                        n_pad, c_block = n_pad_g, c_block_g
+                    else:
+                        n_pad = _quantize_15(
+                            max(self.ref_bucket, len(ref_seqs[order[start]])),
+                            self.ref_bucket,
+                        )
+                        words_per_ref = max(
+                            1, (n_pad + m_pack) * m_pack // 4
+                        )
+                        c_block = max(1, _TABLE_BUDGET // words_per_ref)
                     # One maximal chunk per table budget — splitting at
                     # length-halving boundaries (smaller window DMA per
                     # short-ref program) was measured WORSE: ~17 ms of
@@ -434,6 +458,15 @@ class BatchBackend:
                             ),
                         )
                     )
+                    # Backpressure: each queued dispatch pins its
+                    # window table (~570 MB at the canonical corpus
+                    # shape) in HBM until executed; an unbounded host
+                    # lead OOM'd the runtime at ~28 in-flight
+                    # dispatches (FailedPrecondition on a 1 Gbp flush).
+                    # Waiting on the dispatch 4 back keeps at most a
+                    # few tables live while preserving the pipeline.
+                    if len(pending) >= 4:
+                        jax.block_until_ready(pending[-4][1])
             return pending, total_cells
         if diag_path and self.pack:
             # Grouped (length-ladder) packed dispatch: the sharded
