@@ -27,48 +27,38 @@ N_READS = int(os.environ.get("CORPUS_READS", "512"))
 BASE = os.environ.get("CORPUS_DIR", "/tmp/swtpu_corpus")
 SEED = 7
 
-_B = np.frombuffer(b"ACGT", np.uint8)
-
-
-def _seq(rng, n):
-    return _B[rng.integers(0, 4, size=n)].tobytes().decode()
-
-
 def generate(base, gbp, n_reads):
-    """RefSeq-shaped corpus: files of ~candidate seqs with lengths drawn
-    500-4000bp (mean ~2250, like the bench mix), ~2 Mbp per file."""
+    """RefSeq-shaped corpus via the package generator
+    (`metrics.engineer_data.refseq_like` / `reads_file` — one
+    implementation shared with bench.py's pipeline metric).  Cached by
+    tag; an existing corpus is never regenerated, so numbers recorded
+    against a cached tag stay comparable."""
+    from sparksmithwaterman_tpu.metrics.engineer_data import (
+        reads_file,
+        refseq_like,
+    )
+
     tag = f"g{gbp}_r{n_reads}_s{SEED}"
     root = os.path.join(base, tag)
     marker = os.path.join(root, ".done")
-    ref_dir = os.path.join(root, "refs")
-    in_dir = os.path.join(root, "inputs")
     if os.path.exists(marker):
         return root
-    os.makedirs(ref_dir, exist_ok=True)
-    os.makedirs(in_dir, exist_ok=True)
-    rng = np.random.default_rng(SEED)
-    total_bp = int(gbp * 1e9)
-    written = 0
-    fi = 0
     t0 = time.perf_counter()
-    while written < total_bp:
-        fi += 1
-        parts = []
-        file_bp = 0
-        while file_bp < 2_000_000 and written + file_bp < total_bp:
-            n = int(rng.integers(500, 4000))
-            parts.append(f">gi|{fi}|{len(parts)}|synthetic\n{_seq(rng, n)}")
-            file_bp += n
-        with open(os.path.join(ref_dir, f"ref{fi}.rna.fna"), "w") as f:
-            f.write("\n".join(parts))
-        written += file_bp
-    reads = [_seq(rng, int(l)) for l in rng.integers(80, 151, size=n_reads)]
-    with open(os.path.join(in_dir, "input1.fa"), "w") as f:
-        f.write("\n".join(reads))
+    meta = refseq_like(
+        os.path.join(root, "refs"), int(gbp * 1e9), seed=SEED
+    )
+    reads_bp = reads_file(
+        os.path.join(root, "inputs", "input1.fa"), n_reads
+    )
     with open(marker, "w") as f:
-        json.dump({"ref_bp": written, "files": fi, "reads": n_reads}, f)
-    print(f"generated {written/1e9:.3f} Gbp in {fi} files, "
-          f"{n_reads} reads ({time.perf_counter()-t0:.0f}s)", flush=True)
+        json.dump(
+            {"ref_bp": meta["ref_bp"], "files": meta["files"],
+             "reads": n_reads, "read_bp": reads_bp},
+            f,
+        )
+    print(f"generated {meta['ref_bp']/1e9:.3f} Gbp in {meta['files']} "
+          f"files, {n_reads} reads ({time.perf_counter()-t0:.0f}s)",
+          flush=True)
     return root
 
 

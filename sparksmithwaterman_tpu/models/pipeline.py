@@ -38,6 +38,58 @@ from sparksmithwaterman_tpu.models.aligner import get_backend
 _JOURNAL = ".journal.jsonl"
 
 
+class DoubleBufferedFlushes:
+    """Encounter-order winner merge over device-reduced scoring flushes,
+    DOUBLE-BUFFERED: flush k's (best, tie-indices) fetch resolves only
+    after flush k+1 has been dispatched, hiding the device tail + the
+    fetch round trip (tens of ms through a remote-TPU tunnel) behind
+    the next flush's parse/encode host work.  Resolution stays in
+    dispatch order, so the ``>`` replaces / ``==`` appends bookkeeping
+    sees entries in exact encounter order
+    (``src/sw/Distribution.java:601-613``).
+
+    Shared by the single-host pipeline and the multi-host shard driver
+    (entries are opaque: (metadata, seq) pairs there, (file_idx,
+    seq_idx) here).  Backends without ``best_of_async`` (serial, seq)
+    fall back to a synchronous resolve.
+    """
+
+    def __init__(self, backend, reads):
+        self.best = 0
+        self.winners: list = []
+        self._in_flight: list = []
+        self._reads = reads
+        async_fn = getattr(backend, "best_of_async", None)
+        if async_fn is None:
+            def async_fn(reads_, seqs, _b=backend):
+                res = _b.best_of(reads_, seqs)
+                return lambda: res
+
+        self._async = async_fn
+
+    def dispatch(self, entries: list, seqs: list) -> None:
+        if not entries:
+            return
+        self._in_flight.append(
+            (entries, self._async(self._reads, seqs))
+        )
+        while len(self._in_flight) > 1:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        entries, resolve = self._in_flight.pop(0)
+        best, ties = resolve()
+        if best > self.best:
+            self.best = best
+            self.winners = [entries[i] for i in ties]
+        elif best == self.best:
+            self.winners.extend(entries[i] for i in ties)
+
+    def finish(self) -> None:
+        while self._in_flight:
+            self._drain_one()
+
+
 def _journal_path(config: AlignConfig) -> str:
     return os.path.join(config.out_dir, _JOURNAL)
 
@@ -92,58 +144,24 @@ def run_pipeline(config: AlignConfig, backend=None, resume: bool = False) -> Lis
 
         t0 = time.monotonic()
         num_refs = 0
-        global_max = 0
-        # Winner refs in encounter order: (metadata, sequence).
-        winners: List[Tuple[str, str]] = []
 
         # Stream reference files (the reference streams too,
         # Distribution.java:578-616), but accumulate sequences across
         # files up to ref_batch_bp base pairs per scoring dispatch —
         # per-file dispatch leaves small files under-batched and the
-        # device idle between launches.  Winner bookkeeping still sees
-        # sequences in exact file/record encounter order.
+        # device idle between launches.  Device-side winner reduction:
+        # only (best, tie indices) cross to the host — O(shards), not
+        # O(C), per dispatch (the intent of Distribution.java:341-353
+        # without its collect-everything driver merge).
+        merge = DoubleBufferedFlushes(backend, reads)
         pending: List[Tuple[str, str]] = []
         pending_bp = 0
-        # Double-buffered flushes: flush k's (entries, resolve) pair is
-        # resolved only after flush k+1 has been DISPATCHED, hiding the
-        # device tail + the fetch round-trip (tens of ms through a
-        # remote-TPU tunnel) behind the next flush's parse/encode host
-        # work.  Resolution stays in dispatch order, so the winner
-        # bookkeeping sees sequences in exact encounter order.
-        in_flight: List[Tuple[List[Tuple[str, str]], object]] = []
-        best_of_async = getattr(backend, "best_of_async", None)
-        if best_of_async is None:  # serial/seq backends: sync fallback
-            def best_of_async(reads_, seqs, _b=backend):
-                res = _b.best_of(reads_, seqs)
-                return lambda: res
-
-        def drain_one():
-            nonlocal global_max, winners
-            entries, resolve = in_flight.pop(0)
-            # Device-side winner reduction: only (best, tie indices)
-            # cross to the host — O(shards), not O(C), per dispatch
-            # (the intent of Distribution.java:341-353 without its
-            # collect-everything driver merge).  Tie indices ascend, so
-            # encounter-order append semantics are preserved.
-            best, ties = resolve()
-            if best > global_max:
-                global_max = best
-                winners = [entries[i] for i in ties]
-            elif best == global_max:
-                winners.extend(entries[i] for i in ties)
 
         def flush():
             nonlocal pending, pending_bp
-            if not pending:
-                return
-            entries = pending
+            merge.dispatch(pending, [seq for _, seq in pending])
             pending = []
             pending_bp = 0
-            in_flight.append(
-                (entries, best_of_async(reads, [seq for _, seq in entries]))
-            )
-            while len(in_flight) > 1:
-                drain_one()
 
         for ref_file in iter_files(config.ref_dir):
             ref_seqs = get_ref_seqs(ref_file, config.delimiter)
@@ -154,8 +172,9 @@ def run_pipeline(config: AlignConfig, backend=None, resume: bool = False) -> Lis
                 if pending_bp >= config.ref_batch_bp:
                     flush()
         flush()
-        while in_flight:
-            drain_one()
+        merge.finish()
+        global_max = merge.best
+        winners = merge.winners
 
         # Traceback pass: only the winning references (the reference
         # computes these inline per pair; the result set is identical).

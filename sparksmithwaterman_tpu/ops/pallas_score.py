@@ -2204,6 +2204,24 @@ def _band_call(
     return lane[0], bout[0]
 
 
+def band_chunk_plan(read_block: int, m: int, ns: int, unroll: int = 64):
+    """(unroll, words_per_chunk, t4) for the band kernel over an
+    ``ns``-column segment — the ONE source of the chunk arithmetic
+    (`_band_call` derives num_chunks = t4 // words, so every caller
+    must agree on the same rounding).
+
+    The chunk shrinks to the band's true diagonal count in whole
+    unrolled bodies: short segments must not pay the full VMEM-sized
+    chunk's step budget."""
+    u, words = plan_band(read_block, m, unroll)
+    wq = max(1, u // 4)
+    diags = m + ns - 1
+    need = -(-(-(-diags // 4)) // wq) * wq
+    words = min(words, need)
+    t4 = words * max(1, -(-diags // (4 * words)))
+    return u, words, t4
+
+
 def band_plan_windows(
     seg_i, m: int, read_block: int, unroll: int = 64, ilv: bool = False
 ):
@@ -2212,17 +2230,7 @@ def band_plan_windows(
 
     ``seg_i``: (C, NS) int32 segment codes (REF_PAD-padded)."""
     ns = seg_i.shape[1]
-    u, words = plan_band(read_block, m, unroll)
-    diags = m + ns - 1
-    # Shrink the chunk to the needed diagonal count (rounded to whole
-    # unrolled bodies) — short segments must not pay the full VMEM-sized
-    # chunk's step count.
-    wq = max(1, u // 4)
-    need = -(-(-(-diags // 4)) // wq) * wq
-    words = min(words, need)
-    steps_per_chunk = 4 * words
-    num_chunks = max(1, -(-diags // steps_per_chunk))
-    t4 = num_chunks * words
+    u, words, t4 = band_chunk_plan(read_block, m, ns, unroll)
     win4 = _diag_windows_packed4(seg_i, m, t4, ilv=ilv)
     return win4, u, words, ns
 

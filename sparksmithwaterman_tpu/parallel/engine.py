@@ -451,7 +451,7 @@ def _sharded_totals_lax_call(
     return block(reads, refs, match, mismatch, gap)
 
 
-def _c_pad_fusable(c: int, dc: int) -> int:
+def _c_pad_fusable(c: int, dc: int, ladder: bool = True) -> int:
     """Ref-count padding that keeps the window-build column stack
     FUSED by XLA.
 
@@ -462,15 +462,21 @@ def _c_pad_fusable(c: int, dc: int) -> int:
     compile).  The single-device path never hits this because its
     1.5-mantissa ladder's values above 256 are all multiples of 128;
     this mirrors that for the mesh (rounded up to the 8*dc shard
-    multiple — above 256, to lcm(8*dc, 128)).  Pad refs cost ~1 loop
-    body each, so the extra padding is ~free.
+    multiple — above 256, to lcm(8*dc, 128)).
+
+    ``ladder=True`` additionally quantizes to the 1.5-mantissa ladder
+    (fewer compile shapes) — right for the VARLEN kernel, whose pad
+    refs run one loop body each (~free).  The grouped TABLE kernel
+    pays a FULL diagonal sweep per pad ref, so its call site passes
+    ``ladder=False`` to pad only as far as the fusion constraint
+    forces (e.g. C=530 pads to 640, not the ladder's 768).
     """
     import math
 
     from sparksmithwaterman_tpu.models.batch_backend import _quantize_15
 
     mult = 8 * dc
-    q = _quantize_15(max(c, 8), 8)
+    q = _quantize_15(max(c, 8), 8) if ladder else max(c, 8)
     if q <= 256:
         return -(-q // mult) * mult
     step = mult * 128 // math.gcd(mult, 128)
@@ -571,7 +577,9 @@ class ShardedBackend(BatchBackend):
         m_pack = pack["m_pack"]
         shard_rows = pack["rows"] // self._dr
         rb = self._pack_read_block(shard_rows, m_pack)
-        c_pad = _c_pad_fusable(refs_enc.shape[0], self._dc)
+        # ladder=False: each pad ref here costs a full table-kernel
+        # diagonal sweep, so pad only as far as fusion safety forces.
+        c_pad = _c_pad_fusable(refs_enc.shape[0], self._dc, ladder=False)
         refs_p = _pad_rows(refs_enc, c_pad, REF_PAD)
         n_pad = refs_p.shape[1]
         plan = _kernel_plan(rb, m_pack, n_pad)

@@ -144,57 +144,32 @@ def run_multihost_pipeline(
             except (json.JSONDecodeError, OSError):
                 journaled = None  # truncated write — redo the shard
 
-        local_max = 0
         local_refs = 0
         # Winner candidates: (file_idx, seq_idx) ONLY — journals and
         # candidate files are O(winners) small; sequences are re-read
         # from the (shared) reference files at merge time.  Storing the
         # full strings was unbounded on RefSeq-scale ties (VERDICT r2
-        # task 7).
-        winners: List[Tuple[int, int]] = []
-        # Cross-file dispatch batching, as in models/pipeline.py.
+        # task 7).  Device-side winner reduction + double-buffered
+        # resolution shared with the single-host pipeline
+        # (VERDICT r3 task 5): only (best, tie indices) cross to the
+        # host per flush, and flush k's fetch round trip hides behind
+        # flush k+1's parse/encode.
+        from sparksmithwaterman_tpu.models.pipeline import (
+            DoubleBufferedFlushes,
+        )
+
+        merge = DoubleBufferedFlushes(backend, reads)
         pending: List[Tuple[int, int, str]] = []  # (file_idx, seq_idx, seq)
         pending_bp = 0
 
-        # Device-side winner reduction + double-buffered resolution,
-        # same as the single-host pipeline's flush (models/pipeline.py):
-        # only (best, tie indices) cross to the host — O(winners), not
-        # O(C) int64 totals, per flush (VERDICT r3 task 5) — and flush
-        # k's fetch round-trip hides behind flush k+1's parse/encode.
-        in_flight: List[Tuple[List[Tuple[int, int, str]], object]] = []
-        best_of_async = getattr(backend, "best_of_async", None)
-        if best_of_async is None:  # serial backend: sync fallback
-            def best_of_async(reads_, seqs, _b=backend):
-                res = _b.best_of(reads_, seqs)
-                return lambda: res
-
-        def drain_one():
-            nonlocal local_max, winners
-            entries, resolve = in_flight.pop(0)
-            best, ties = resolve()
-            if best > local_max:
-                local_max = best
-                winners = [(entries[i][0], entries[i][1]) for i in ties]
-            elif best == local_max:
-                winners.extend(
-                    (entries[i][0], entries[i][1]) for i in ties
-                )
-
         def flush():
             nonlocal pending, pending_bp
-            if not pending:
-                return
-            entries = pending
+            merge.dispatch(
+                [(f, s) for f, s, _ in pending],
+                [seq for _, _, seq in pending],
+            )
             pending = []
             pending_bp = 0
-            in_flight.append(
-                (
-                    entries,
-                    best_of_async(reads, [seq for _, _, seq in entries]),
-                )
-            )
-            while len(in_flight) > 1:
-                drain_one()
 
         if journaled is not None:
             local_max = int(journaled["local_max"])
@@ -210,8 +185,9 @@ def run_multihost_pipeline(
                     if pending_bp >= config.ref_batch_bp:
                         flush()
             flush()
-            while in_flight:
-                drain_one()
+            merge.finish()
+            local_max = merge.best
+            winners = merge.winners
             os.makedirs(partial_dir, exist_ok=True)
             tmp = journal_path + ".tmp"
             with open(tmp, "w") as f:

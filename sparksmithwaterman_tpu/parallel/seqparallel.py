@@ -179,12 +179,12 @@ def _seqp_call_batch(reads, refs, match, mismatch, gap, *, mesh, axis, stripe):
     jax.jit,
     static_argnames=(
         "match", "mismatch", "gap", "mesh", "axis", "read_block",
-        "unroll", "words", "ns_local", "interleaved", "interpret",
+        "unroll", "words", "t4", "ns_local", "interleaved", "interpret",
     ),
 )
 def _seqp_band_call(
     packed_i, refs_enc, si_phys, *, match, mismatch, gap, mesh, axis,
-    read_block, unroll, words, ns_local, interleaved, interpret,
+    read_block, unroll, words, t4, ns_local, interleaved, interpret,
 ):
     """(C, R) per-read best scores with every ref length-sharded and the
     in-band fill a PALLAS kernel (VERDICT r3 task 3) — the TPU-real form
@@ -210,14 +210,16 @@ def _seqp_band_call(
     )
 
     rows, m = packed_i.shape
-    t4 = words * max(
-        1, -(-(m + ns_local - 1) // (4 * words))
-    )
 
     def chip_body(packed_i, refs_seg, si_phys):
         k = jax.lax.axis_index(axis)
         size = jax.lax.psum(1, axis)
         c = refs_seg.shape[0]
+        # Built per chip INSIDE the shard_map (parallel, no size-x
+        # replication).  Safe only because the backend caps the ref
+        # chunk at 256: beyond that, non-128-multiple C makes the
+        # column stack stop fusing under the SPMD partitioner
+        # (engine._c_pad_fusable documents the measured 65 GB OOM).
         win4 = _diag_windows_packed4(
             refs_seg.astype(jnp.int32), m, t4, ilv=interleaved
         )  # (C, T4, M) for THIS chip's segments, kernel lane order
@@ -267,6 +269,48 @@ def _seqp_band_call(
     return fn(packed_i, refs_enc, si_phys)
 
 
+def band_prepack(reads, read_block: int | None = None):
+    """One-time read-side prep for the banded ring: packed rows in the
+    kernel layout (device-resident), physical gather indices, and the
+    resolved (m_pack, read_block).
+
+    Hoisted out of :func:`seqparallel_scores_band` so a totals() call
+    with many ref chunks packs/uploads/interleaves the reads ONCE, not
+    once per chunk (Python first-fit packing per dispatch is exactly
+    the cost the BatchBackend pack cache exists to avoid).
+    """
+    from sparksmithwaterman_tpu.ops.packing import pack_reads
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        _ilv_jit,
+        diag_read_block,
+        varlen_start_phys,
+    )
+
+    m_pack = 128
+    longest = max((len(r) for r in reads), default=1)
+    while m_pack < longest:
+        m_pack *= 2
+    packed, start_idx = pack_reads(list(reads), m_pack, row_multiple=8)
+    rows = packed.shape[0]
+    rb = read_block if read_block is not None else diag_read_block(rows, m_pack)
+    while rows % rb:
+        rb -= 8
+    rb = max(8, rb)
+    ilv = m_pack % 128 == 0 and m_pack // 128 > 1
+    packed_i = jnp.asarray(packed, jnp.int32)
+    si = np.asarray(start_idx)
+    if ilv:
+        packed_i = _ilv_jit(packed_i)
+        si = varlen_start_phys(si, m_pack)
+    return dict(
+        packed_i=packed_i,
+        si=jnp.asarray(si, jnp.int32),
+        m_pack=m_pack,
+        rb=rb,
+        ilv=ilv,
+    )
+
+
 def seqparallel_scores_band(
     reads,
     refs_enc: np.ndarray,
@@ -279,59 +323,34 @@ def seqparallel_scores_band(
     read_block: int | None = None,
     unroll: int = 64,
     interpret: bool = False,
+    prepack: dict | None = None,
 ):
     """(C, R) per-read max scores via the banded Pallas ring.
 
-    ``reads``: list of read strings (packed internally);
+    ``reads``: list of read strings (packed internally unless a
+    :func:`band_prepack` result is supplied);
     ``refs_enc``: (C, N) uint8 with N % mesh-axis-size == 0.
     ``read_block`` defaults to the calibrated `diag_read_block` (big
     blocks feed the serial diagonal chain its ILP — rb=8 measured ~40x
     below rb=256 at m=128).
     """
-    from sparksmithwaterman_tpu.ops.packing import pack_reads
-    from sparksmithwaterman_tpu.ops.pallas_score import (
-        _ilv_jit,
-        diag_read_block,
-        plan_band,
-        varlen_start_phys,
-    )
+    from sparksmithwaterman_tpu.ops.pallas_score import band_chunk_plan
 
     size = mesh.shape[axis]
     n = refs_enc.shape[1]
     if n % size:
         raise ValueError(f"N={n} must divide over {size} seq shards")
     ns_local = n // size
-    m_pack = 128
-    longest = max((len(r) for r in reads), default=1)
-    while m_pack < longest:
-        m_pack *= 2
-    packed, start_idx = pack_reads(list(reads), m_pack, row_multiple=8)
-    rows = packed.shape[0]
-    rb = read_block if read_block is not None else diag_read_block(rows, m_pack)
-    while rows % rb:
-        rb -= 8
-    rb = max(8, rb)
-    u, words = plan_band(rb, m_pack, unroll)
-    # Shrink the window chunk to the band's true diagonal count (whole
-    # unrolled bodies) — the VMEM-sized chunk would otherwise make every
-    # round run its full step budget regardless of segment length.
-    wq = max(1, u // 4)
-    diags = m_pack + ns_local - 1
-    need = -(-(-(-diags // 4)) // wq) * wq
-    words = min(words, need)
-    ilv = m_pack % 128 == 0 and m_pack // 128 > 1
-    packed_i = jnp.asarray(packed, jnp.int32)
-    si = np.asarray(start_idx)
-    if ilv:
-        packed_i = _ilv_jit(packed_i)
-        si = varlen_start_phys(si, m_pack)
+    pp = prepack if prepack is not None else band_prepack(reads, read_block)
+    u, words, t4 = band_chunk_plan(pp["rb"], pp["m_pack"], ns_local, unroll)
     return _seqp_band_call(
-        packed_i,
+        pp["packed_i"],
         jnp.asarray(refs_enc),
-        jnp.asarray(si, jnp.int32),
+        pp["si"],
         match=int(match), mismatch=int(mismatch), gap=int(gap),
-        mesh=mesh, axis=axis, read_block=rb, unroll=u, words=words,
-        ns_local=ns_local, interleaved=ilv, interpret=interpret,
+        mesh=mesh, axis=axis, read_block=pp["rb"], unroll=u, words=words,
+        t4=t4, ns_local=ns_local, interleaved=pp["ilv"],
+        interpret=interpret,
     )
 
 
@@ -472,6 +491,7 @@ class SeqParallelBackend:
         size = self.mesh.shape[self.axis]
         quantum = size * self.ref_bucket
         s = self.scoring
+        prepack = band_prepack(reads) if self._use_band else None
         real_cells = sum(len(r) for r in ref_seqs) * sum(len(r) for r in reads)
         with self.gcups.measure_lazy() as done:
             # Group refs by quantized padded length; each group chunk is
@@ -488,6 +508,12 @@ class SeqParallelBackend:
                 c_block = max(
                     1, self._SEQ_STATE_BUDGET // max(1, b * (n // size))
                 )
+                if self._use_band:
+                    # Fusion-safe cap: the band path builds its window
+                    # tables inside the shard_map, where the column
+                    # stack fuses only up to C=256 (see
+                    # engine._c_pad_fusable's measured boundary).
+                    c_block = min(c_block, 256)
                 for start in range(0, len(idx), c_block):
                     chunk = idx[start : start + c_block]
                     # Quantize the chunk's ref count (8 * 2^k ladder) so
@@ -508,6 +534,7 @@ class SeqParallelBackend:
                         scores = seqparallel_scores_band(
                             reads, refs_enc, s.match, s.mismatch, s.gap,
                             mesh=self.mesh, axis=self.axis,
+                            prepack=prepack,
                         )  # (C_q, R)
                     else:
                         scores = seqparallel_scores_batch(
