@@ -133,6 +133,58 @@ def test_single_block_pack_never_doubles():
         assert waste < 1.35, (target_bp, pack["rows"], waste)
 
 
+def test_double_buffered_flushes_semantics():
+    """The shared winner-merge helper: resolves in dispatch order with
+    at most one flush in flight, `>` replaces / `==` appends in
+    encounter order, and falls back to sync best_of when the backend
+    has no async form."""
+    from sparksmithwaterman_tpu.models.pipeline import DoubleBufferedFlushes
+
+    events = []
+
+    class AsyncBackend:
+        def __init__(self):
+            self.results = iter([(5, [0]), (7, [1]), (7, [0, 2]), (3, [0])])
+
+        def best_of_async(self, reads, seqs):
+            events.append(("dispatch", tuple(seqs)))
+            res = next(self.results)
+
+            def resolve():
+                events.append(("resolve", tuple(seqs)))
+                return res
+
+            return resolve
+
+    m = DoubleBufferedFlushes(AsyncBackend(), ["r"])
+    m.dispatch(["a", "b"], ["A", "B"])          # best 5, winner b->? ties [0] => a
+    assert events == [("dispatch", ("A", "B"))]  # nothing resolved yet
+    m.dispatch(["c", "d"], ["C", "D"])          # 7 ties [1] -> d replaces
+    m.dispatch(["e", "f", "g"], ["E", "F", "G"])  # 7 ties [0,2] -> e,g append
+    m.dispatch(["h"], ["H"])                     # 3 -> ignored
+    m.finish()
+    assert m.best == 7 and m.winners == ["d", "e", "g"]
+    # resolution strictly followed dispatch of the NEXT flush
+    kinds = [k for k, _ in events]
+    assert kinds == [
+        "dispatch", "dispatch", "resolve", "dispatch", "resolve",
+        "dispatch", "resolve", "resolve",
+    ]
+
+    class SyncBackend:
+        def best_of(self, reads, seqs):
+            return (1, [0])
+
+    s = DoubleBufferedFlushes(SyncBackend(), ["r"])
+    s.dispatch(["x"], ["X"])
+    s.finish()
+    assert s.best == 1 and s.winners == ["x"]
+    # empty dispatches are no-ops
+    s.dispatch([], [])
+    s.finish()
+    assert s.winners == ["x"]
+
+
 def test_pack_cache_len_tripwire():
     """Same list object, mutated in place: the identity check alone
     would silently reuse stale packed rows; the len tripwire repacks."""
