@@ -49,9 +49,23 @@ THRESHOLDS = {
     # Sustained run_pipeline over the 64 Mbp generated corpus — measured
     # 238-242 in round 4 (~10% margin).
     "pipeline_gcups": 215.0,
-    # 131 kb refs via the chunked-window kernel — measured 54.8-54.9.
-    "longref_gcups": 45.0,
+    # 131 kb refs via the round-5 multi-ref folded kernel, SUSTAINED
+    # (pipeline-protocol best_of_async overlap; see bench_longref) —
+    # measured 196.4 (round 4 shipped 54.5 on this workload).
+    "longref_gcups": 160.0,
+    # Same workload, sequential totals() calls (RTT-bound single-flush).
+    "longref_single_gcups": 60.0,
+    # 256 Mbp x 512 reads through run_pipeline (placeholder floors until
+    # the round-5 hardware numbers land; the 1 Gbp experiment sustained
+    # 313 warm / 150 cold-process in round 4).
+    "corpus_gcups": 130.0,
+    # 20k reads x 8 Mbp refs through run_pipeline.
+    "readscale_gcups": 130.0,
 }
+
+# Upper bounds for latency metrics (warm): regression gates in the
+# other direction.  Warm 64-read x 131 kb traceback measured ~1.1 s.
+THRESHOLD_CEILINGS = {"longref_traceback_ms": 2500.0}
 
 # Independent measurement passes per metric (each pass itself averages
 # or bests several device iterations); the JSON reports the MEDIAN with
@@ -108,7 +122,7 @@ def bench_kernel(params, iters=20):
     return cells / dt / 1e9, (reads, refs, out)
 
 
-def bench_pipeline(params, total_bp=64_000_000, n_reads=512):
+def bench_pipeline(params, total_bp=64_000_000, n_reads=512, passes=2):
     """SUSTAINED shipped-pipeline rate (VERDICT r3 task 2, scaled): the
     real `run_pipeline` (parse -> pack -> double-buffered flushes ->
     device winner reduce -> traceback -> report) over a RefSeq-shaped
@@ -135,12 +149,32 @@ def bench_pipeline(params, total_bp=64_000_000, n_reads=512):
     )
     marker = os.path.join(root, ".done")
     if not os.path.exists(marker):
-        meta = refseq_like(os.path.join(root, "refs"), total_bp)
+        # Generate into a temp dir and rename into place: the corpus
+        # becomes visible all-or-nothing, so a crashed earlier run (or
+        # a concurrent bench) can never hand this one a half-written
+        # corpus with a valid path (the marker-last ordering alone
+        # still left a window for readers of partial ref files).
+        import shutil
+        import tempfile
+
+        parent = os.path.dirname(root) or "."
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=os.path.basename(root) + ".tmp", dir=parent)
+        meta = refseq_like(os.path.join(tmp, "refs"), total_bp)
         meta["read_bp"] = reads_file(
-            os.path.join(root, "inputs", "input1.fa"), n_reads
+            os.path.join(tmp, "inputs", "input1.fa"), n_reads
         )
-        with open(marker, "w") as f:
+        with open(os.path.join(tmp, ".done"), "w") as f:
             json.dump(meta, f)
+        if os.path.isdir(root) and not os.path.exists(marker):
+            shutil.rmtree(root)  # stale partial from a crashed run
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            # A concurrent bench won the rename race; use its corpus.
+            shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise RuntimeError(f"corpus generation failed: {root}")
     meta = json.load(open(marker))
     real_cells = meta["read_bp"] * meta["ref_bp"]
     scoring = ScoringScheme(
@@ -159,15 +193,53 @@ def bench_pipeline(params, total_bp=64_000_000, n_reads=512):
         return real_cells / (time.perf_counter() - t0) / 1e9
 
     one_pass("warm")  # compile + persistent-cache warm
-    rate = max(one_pass(i) for i in range(2))
+    rate = max(one_pass(i) for i in range(passes))
     return rate, meta
+
+
+def bench_corpus(params):
+    """>= 0.25 Gbp corpus regime, threshold-gated every round (VERDICT
+    r4 task 7 — the round-4 corpus-only bugs lived here): 256 Mbp
+    RefSeq-shaped refs x 512 reads through ``run_pipeline`` (8 flushes,
+    double-buffered), warm pass + 1 measured pass."""
+    return bench_pipeline(
+        params, total_bp=256_000_000, n_reads=512, passes=1
+    )
+
+
+def bench_readscale(params):
+    """Read-scale regime (VERDICT r4 task 1): 20,000 reads (~2.3 Mbp —
+    the reference's FIRST benchmark axis,
+    ``src/metrics/EngineerData.java:54-78``, scaled 12x past its
+    1,624-read sweep) x 8 Mbp refs through ``run_pipeline`` — exercises
+    ~9k-row packs, big-grid kernel dispatches, and the winner traceback
+    + report at 20k reads."""
+    return bench_pipeline(
+        params, total_bp=8_000_000, n_reads=20_000, passes=1
+    )
 
 
 def bench_longref(params, iters=5):
     """Long-reference mixed case (VERDICT r3 task 10, BASELINE config
     5): 131 kb references through the shipped path — the varlen plan
-    cannot fit, so this exercises the grouped CHUNKED-window kernel —
-    plus one windowed long-ref traceback."""
+    cannot fit, so this exercises the round-5 multi-ref FOLDED chunked
+    kernel — plus the windowed long-ref traceback.
+
+    Two rates (VERDICT r4 tasks 2/3):
+    - ``longref_gcups``: SUSTAINED pipeline protocol — ``iters``
+      ``best_of_async`` flushes dispatched back-to-back, resolved after
+      (exactly how ``run_pipeline``'s DoubleBufferedFlushes overlaps a
+      long-ref corpus), wall/iters.  The single-call ``totals`` rate is
+      RTT-bound through the remote tunnel (~23-40 ms per fetch against
+      a ~50 ms compute) and is reported separately.
+    - ``longref_single_gcups``: best-of-``iters`` sequential
+      ``totals()`` calls — the cold-path latency a one-shot caller sees.
+
+    The traceback is timed WARM (first call pays compile + cache load;
+    the returned number is the steady-state cost a pipeline pays per
+    winning reference) — the r4 bench timed it cold and recorded
+    34,048 ms against a 1.08 s committed hot rate.
+    """
     from sparksmithwaterman_tpu.config import AlignConfig, ScoringScheme
     from sparksmithwaterman_tpu.models.batch_backend import BatchBackend
 
@@ -185,22 +257,31 @@ def bench_longref(params, iters=5):
     be = BatchBackend(
         AlignConfig(ref_dir=".", in_dir=".", out_dir=".", scoring=scoring)
     )
-    be.totals(reads, refs)  # warm
-    best = 0.0
+    totals = be.totals(reads, refs)  # warm/compile
+    be.best_of(reads, refs)  # warm the async winner-reduce op chain too:
+    # its eager carry-pair/mask ops each cost a compile-service round
+    # trip on first use (~10 s total through the remote tunnel) that
+    # totals() does not touch.
+    assert int(totals[0]) >= 5 * 128, "embedded read must win"
+    single = 0.0
     for _ in range(iters):
         t0 = time.perf_counter()
-        totals = be.totals(reads, refs)
-        best = max(best, real_cells / (time.perf_counter() - t0) / 1e9)
-    # Windowed long-ref traceback, ALL 64 reads: the round-4 batched
-    # longseq path (one argmax pass + batched window fills + batched
-    # tie fallback) traces them in ~1 s hot — the per-read form took
-    # ~65 s on the same workload.
+        be.totals(reads, refs)
+        single = max(single, real_cells / (time.perf_counter() - t0) / 1e9)
+    t0 = time.perf_counter()
+    resolvers = [be.best_of_async(reads, refs) for _ in range(iters)]
+    best_seen = max(r()[0] for r in resolvers)
+    sustained = real_cells * iters / (time.perf_counter() - t0) / 1e9
+    assert best_seen == int(totals.max()), "async winner disagrees"
+    # Windowed long-ref traceback, ALL 64 reads: warm pass timed (the
+    # round-4 batched longseq path — one argmax pass + batched window
+    # fills + batched tie fallback).
+    be.sites_for_ref(refs[0], reads)  # compile warm
     t0 = time.perf_counter()
     sites = be.sites_for_ref(refs[0], reads)
     tb_ms = (time.perf_counter() - t0) * 1e3
-    assert int(totals[0]) >= 5 * 128, "embedded read must win"
     assert any(s[1][1] == reads[0] for s in sites), "traceback missed it"
-    return best, tb_ms
+    return sustained, (single, tb_ms)
 
 
 def bench_e2e(params, iters=5):
@@ -437,6 +518,36 @@ def run_smoke():
 
     checks.append(("packed_varlen", run_varlen))
 
+    # multi-ref FOLDED chunked kernel (round-5 long-ref path): few
+    # packed rows, refs folded into the row dim, interleaved m=256.
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        pallas_lane_best_packed_multi,
+        varlen_start_phys,
+    )
+
+    reads_f = [
+        "".join(rng.choice(_BASES, size=int(l)))
+        for l in rng.integers(100, 257, size=8)
+    ]
+    refs_f = ["".join(rng.choice(_BASES, size=6000)) for _ in range(4)]
+    packed_f, si_f = pack_reads(reads_f, 256, row_multiple=8)
+
+    def run_multi(reads_f=reads_f, refs_f=refs_f):
+        lane = pallas_lane_best_packed_multi(
+            packed_f,
+            encode_batch(refs_f, 6144, REF_PAD),
+            *(int(p) for p in params),
+            read_block=8,
+            cf=2,
+            deinterleave=False,
+        )
+        got = np.asarray(
+            read_best(lane, varlen_start_phys(si_f, 256))
+        )
+        return got, lax_want(reads_f, refs_f, 256, 6144)
+
+    checks.append(("packed_multi", run_multi))
+
     # chunked argmax (longseq max-cell kernel)
     reads, refs = seqs(8, 64, 1, 2048)
     def run_argmax(reads=reads, refs=refs):
@@ -525,9 +636,14 @@ def main(argv):
     # Heavy TPU-only metrics (sustained pipeline, long-ref, measured
     # roofline) — each measured once (they already repeat internally).
     pipeline_gcups = longref_gcups = longref_tb_ms = roofline_gcups = None
+    longref_single = corpus_gcups = readscale_gcups = None
     if _on_tpu:
         pipeline_gcups, _pmeta = bench_pipeline(params)
-        longref_gcups, longref_tb_ms = bench_longref(params)
+        longref_gcups, (longref_single, longref_tb_ms) = bench_longref(
+            params
+        )
+        corpus_gcups, _cmeta = bench_corpus(params)
+        readscale_gcups, _rmeta = bench_readscale(params)
         from sparksmithwaterman_tpu.ops.microbench import vpu_step_roofline
 
         roofline_gcups = vpu_step_roofline(rb=512, m=128)
@@ -556,11 +672,26 @@ def main(argv):
         measured["pipeline_gcups"] = pipeline_gcups
     if longref_gcups is not None:
         measured["longref_gcups"] = longref_gcups
+        measured["longref_single_gcups"] = longref_single
+    if corpus_gcups is not None:
+        measured["corpus_gcups"] = corpus_gcups
+    if readscale_gcups is not None:
+        measured["readscale_gcups"] = readscale_gcups
     bad = {
         k: (round(measured[k], 1), floor)
         for k, floor in THRESHOLDS.items()
         if k in measured and measured[k] < floor
     }
+    # Ceilings (upper bounds): latency metrics regress UPWARD — the r4
+    # bench had no gate here and a 30x traceback regression would have
+    # passed unnoticed (VERDICT r4 weak-1).
+    if longref_tb_ms is not None and longref_tb_ms > THRESHOLD_CEILINGS[
+        "longref_traceback_ms"
+    ]:
+        bad["longref_traceback_ms"] = (
+            round(longref_tb_ms, 1),
+            THRESHOLD_CEILINGS["longref_traceback_ms"],
+        )
     result = {
         "metric": "e2e_real_cell_rate",
         "value": round(e2e_gcups, 1),
@@ -577,6 +708,18 @@ def main(argv):
         # long-ref traceback (BASELINE config 5).
         "longref_gcups": (
             round(longref_gcups, 1) if longref_gcups is not None else None
+        ),
+        "longref_single_gcups": (
+            round(longref_single, 1) if longref_single is not None else None
+        ),
+        # >= 0.25 Gbp corpus regime (256 Mbp x 512 reads, 8 flushes) and
+        # the 20k-read regime (the reference's first bench axis) — both
+        # through the real run_pipeline, warm + 1 measured pass.
+        "corpus_gcups": (
+            round(corpus_gcups, 1) if corpus_gcups is not None else None
+        ),
+        "readscale_gcups": (
+            round(readscale_gcups, 1) if readscale_gcups is not None else None
         ),
         "longref_traceback_ms": (
             round(longref_tb_ms, 1) if longref_tb_ms is not None else None

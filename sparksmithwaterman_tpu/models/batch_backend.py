@@ -104,6 +104,29 @@ def _quantize_15(n: int, base: int) -> int:
     return q
 
 
+def _choose_fold(c: int, rows: int) -> int:
+    """References folded per program for the multi-ref chunked kernel
+    (``ops.pallas_score.pallas_lane_best_packed_multi``).
+
+    The chunked kernels' serial diagonal chain is latency-bound below
+    ~256 state rows, and grid programs run sequentially on one
+    TensorCore — so a few-reads dispatch (bench_longref: 64 reads -> 32
+    packed rows) pays C full-length chains at a fraction of the VPU
+    width.  Fold enough refs to reach ~256 rows; among folds, minimize
+    serial chains first (wall time ∝ chains while latency-bound), then
+    all-pad ref waste (pad refs cost a full sweep in this kernel)."""
+    target = 256 // max(1, rows)
+    if target < 2 or c < 2:
+        return 1
+    best_cf, best_cost = 1, None
+    for cf in range(2, min(c, target) + 1):
+        c_pad = -(-c // cf) * cf
+        cost = (c_pad // cf, c_pad)
+        if best_cost is None or cost < best_cost:
+            best_cf, best_cost = cf, cost
+    return best_cf
+
+
 def _pad_rows(arr: np.ndarray, rows: int, fill: int) -> np.ndarray:
     if arr.shape[0] == rows:
         return arr
@@ -160,13 +183,17 @@ class BatchBackend:
         # scoped-VMEM RESOURCE_EXHAUSTED (the VMEM model mispredicted);
         # see _vmem_retry.  VERDICT r2 task 5.
         self._unroll_override: Dict[tuple, int] = {}
-        # Pack cache for the LAST reads batch (identity+len-checked):
-        # the pipeline calls totals/best_of once per ref-file flush with
-        # the SAME reads list for a whole input file, and first-fit
-        # packing 100K reads in Python per flush would dominate host
-        # time.
-        self._pack_cache: Tuple[object, int, int, List[dict]] = (
-            None, -1, 0, []
+        # Pack cache for the LAST reads batch (identity + len + total-bp
+        # checked): the pipeline calls totals/best_of once per ref-file
+        # flush with the SAME reads list for a whole input file, and
+        # first-fit packing 100K reads in Python per flush would
+        # dominate host time.  The total-bp fingerprint catches in-place
+        # element mutation of the same list object (same id, same len —
+        # the advisor-flagged silent-stale hazard) for any edit that
+        # changes a length; same-length content swaps remain covered
+        # only by the frozen-list contract in the docstring.
+        self._pack_cache: Tuple[object, int, int, int, List[dict]] = (
+            None, -1, -1, 0, []
         )
 
     @staticmethod
@@ -550,15 +577,21 @@ class BatchBackend:
         file, not one per (input file x ref-file flush).  A REBUILT
         list repacks; in-place mutation of the same list would NOT be
         seen by the identity check alone, so the key also carries
-        len(reads) as a cheap tripwire — callers must still treat a
-        reads list as frozen once dispatched (the pipeline builds a
-        fresh list per input file)."""
+        len(reads) and the total base-pair count as cheap tripwires —
+        callers must still treat a reads list as frozen once dispatched
+        (the pipeline builds a fresh list per input file); a same-length
+        same-bp content swap is the one mutation the fingerprint cannot
+        see."""
         from sparksmithwaterman_tpu.ops.packing import pack_reads
 
-        cached_obj, cached_len, cached_limit, cached_packs = self._pack_cache
+        total_bp = sum(len(r) for r in reads)
+        (
+            cached_obj, cached_len, cached_bp, cached_limit, cached_packs,
+        ) = self._pack_cache
         if (
             cached_obj is reads
             and cached_len == len(reads)
+            and cached_bp == total_bp
             and cached_limit == r_limit
         ):
             return cached_packs
@@ -579,8 +612,14 @@ class BatchBackend:
             while m_tier < len(r):
                 m_tier *= 2
             tiers.setdefault(m_tier, []).append(i)
-        if len(tiers) > 1:
-            # collapse to the widest tier (see above)
+        import os
+
+        if len(tiers) > 1 and not os.environ.get("SWTPU_DUAL_TIER"):
+            # collapse to the widest tier (see above).  SWTPU_DUAL_TIER=1
+            # keeps the split — the A/B knob for re-testing the decision
+            # at read scale (experiments/dualtier_ab.py; the 512-read
+            # measurement rejected it on bin-packing fill, VERDICT r4
+            # task 5 asks whether 20k+ reads invert that).
             m_top = max(tiers)
             tiers = {m_top: sorted(i for t in tiers.values() for i in t)}
 
@@ -647,16 +686,52 @@ class BatchBackend:
                 chunk_idx.append(i)
                 chunk_bp += max(1, len(reads[i]))
             close(m_pack, chunk_idx)
-        self._pack_cache = (reads, len(reads), r_limit, packs)
+        self._pack_cache = (reads, len(reads), total_bp, r_limit, packs)
         return packs
+
+    def _start_phys(self, pack: dict):
+        """Physical (interleaved-layout) start indices, cached on the
+        pack — the free alternative to de-interleaving kernel output."""
+        if "start_phys" not in pack:
+            from sparksmithwaterman_tpu.ops.pallas_score import (
+                varlen_start_phys,
+            )
+
+            pack["start_phys"] = jax.device_put(
+                varlen_start_phys(
+                    np.asarray(pack["start_idx"]), pack["m_pack"]
+                )
+            )
+        return pack["start_phys"]
 
     def _packed_col_sums(self, pack: dict, refs_enc: np.ndarray):
         """(C_pad,) per-ref column sums for one packed read chunk."""
         from sparksmithwaterman_tpu.ops.packing import packed_col_sums
         from sparksmithwaterman_tpu.ops.pallas_score import (
             pallas_lane_best_packed,
+            pallas_lane_best_packed_multi,
+            plan_multi,
         )
 
+        rows, m_pack = pack["rows"], pack["m_pack"]
+        rb = self._pack_read_block(rows, m_pack)
+        # Few-rows dispatches (long-ref workloads: few reads, the varlen
+        # plan can't fit) FOLD several refs into one program so their
+        # wavefronts share a serial diagonal chain — the chunked kernel
+        # is latency-bound below ~256 rows (measured 54.5 -> 200+ GCUPS
+        # on the 64-read x 8x131kb bench shape).
+        cf = _choose_fold(refs_enc.shape[0], rows)
+        if cf > 1 and plan_multi(rb, m_pack, cf) is not None:
+            c_pad = -(-refs_enc.shape[0] // cf) * cf
+            refs_enc = _pad_rows(refs_enc, c_pad, REF_PAD)
+            lane = self._vmem_retry(
+                ("multi", rb, cf, m_pack, refs_enc.shape[1]),
+                lambda u: pallas_lane_best_packed_multi(
+                    pack["packed"], refs_enc, *self._params_static,
+                    read_block=rb, cf=cf, unroll=u, deinterleave=False,
+                ),
+            )
+            return packed_col_sums(lane, self._start_phys(pack))
         # C pads to ceil-8 (not the 1.5 ladder): big flushes dispatch
         # fixed c_block chunks anyway (compile-stable), and ladder
         # padding on the LAST chunk costs real window+kernel work
@@ -665,7 +740,6 @@ class BatchBackend:
         refs_enc = _pad_rows(
             refs_enc, -(-refs_enc.shape[0] // 8) * 8, REF_PAD
         )
-        rb = self._pack_read_block(pack["rows"], pack["m_pack"])
         lane = self._vmem_retry(
             ("packed", rb, pack["m_pack"], refs_enc.shape[1]),
             lambda u: pallas_lane_best_packed(
@@ -722,17 +796,7 @@ class BatchBackend:
         # Gather with PHYSICAL indices instead of de-interleaving the
         # (C, ROWS, M) output — the transpose's bytes scale with C
         # (measured ~50 ms at C=576 on the equal-work scan).
-        if "start_phys" not in pack:
-            from sparksmithwaterman_tpu.ops.pallas_score import (
-                varlen_start_phys,
-            )
-
-            pack["start_phys"] = jax.device_put(
-                varlen_start_phys(
-                    np.asarray(pack["start_idx"]), pack["m_pack"]
-                )
-            )
-        return packed_col_sums(lane, pack["start_phys"])
+        return packed_col_sums(lane, self._start_phys(pack))
 
     # -- traceback path ----------------------------------------------------
 

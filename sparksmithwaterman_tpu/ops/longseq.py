@@ -91,13 +91,62 @@ def _max_cells_device_batch(
     return best, count, cells.astype(jnp.int32)
 
 
+# Device argwhere capacity ceiling: past this, the doubling loop's
+# (R, capacity, 2) cell arrays and per-doubling recompiles cost more
+# than an exact host row-scan (a repetitive read against a 131 kb ref
+# can tie at millions of cells — each doubling is a fresh compile
+# through the remote service).
+_CAPACITY_CAP = 1 << 15
+
+
+def _max_cells_host(read_enc, ref_enc, match, mismatch, gap):
+    """Exact host row-scan: (best, cells) with UNBOUNDED tie capacity.
+
+    Mirrors ``_row_update``'s linear-gap prefix-max recurrence in two
+    NumPy passes (find best, then collect row-major max cells) so memory
+    stays O(n) regardless of tie count."""
+    match, mismatch, gap = int(match), int(mismatch), int(gap)
+    ref_i = ref_enc.astype(np.int64)
+    n = ref_i.shape[-1]
+    ramp = gap * np.arange(n, dtype=np.int64)
+
+    def rows():
+        h = np.zeros(n, np.int64)
+        for i in range(read_enc.shape[-1]):
+            sub = np.where(ref_i == int(read_enc[i]), match, mismatch)
+            nw = np.concatenate(([0], h[:-1])) + sub
+            cand = np.maximum(np.maximum(nw, h + gap), 0)
+            h = np.maximum.accumulate(cand - ramp) + ramp
+            yield i, h
+
+    best = 0
+    for _, h in rows():
+        best = max(best, int(h.max()))
+    if best <= 0:
+        return 0, np.empty((0, 2), np.int32)
+    parts = []
+    for i, h in rows():
+        js = np.flatnonzero(h == best)
+        if js.size:
+            parts.append(
+                np.stack([np.full(js.size, i, np.int32), js], axis=1)
+            )
+    cells = (
+        np.concatenate(parts, axis=0).astype(np.int32)
+        if parts
+        else np.empty((0, 2), np.int32)
+    )
+    return best, cells
+
+
 def find_max_cells(
     read_seq: str, ref_seq: str, params, capacity: int = 1024
 ) -> Tuple[int, np.ndarray]:
     """All (i, j) max cells (0-based, row-major) of one pair.
 
     Capacity doubles until every tie fits (ties beyond a handful are
-    rare on non-degenerate data).
+    rare on non-degenerate data); past ``_CAPACITY_CAP`` the exact host
+    row-scan takes over instead of minting ever-larger compiles.
     """
     m, n = len(read_seq), len(ref_seq)
     read_enc = encode_batch([read_seq], m, READ_PAD)[0]
@@ -109,6 +158,9 @@ def find_max_cells(
         best, count = int(best), int(count)
         if count <= capacity:
             cells = np.asarray(cells)[:count]
+            return best, cells
+        if capacity >= _CAPACITY_CAP:
+            best, cells = _max_cells_host(read_enc, ref_enc, *params)
             return best, cells
         capacity *= 2
 
@@ -200,12 +252,20 @@ def find_max_cells_batched(
                     genc, ref_full, *params, capacity=capacity
                 )
                 b_g, c_g = np.asarray(b_g), np.asarray(c_g)
-                if (c_g <= capacity).all():
+                if (c_g <= capacity).all() or capacity >= _CAPACITY_CAP:
                     break
                 capacity *= 2
             cells_g = np.asarray(cells_g)
             for k, ridx in enumerate(g):
-                out[ridx] = (int(b_g[k]), cells_g[k][: int(c_g[k])])
+                if int(c_g[k]) > capacity:
+                    # Tie count past the device cap (degenerate
+                    # repetitive read): exact host row-scan, O(n)
+                    # memory, no recompile ladder.
+                    out[ridx] = _max_cells_host(
+                        genc[k], ref_full, *params
+                    )
+                else:
+                    out[ridx] = (int(b_g[k]), cells_g[k][: int(c_g[k])])
     return out
 
 
@@ -361,6 +421,14 @@ def sites_for_ref_long_batched(
             tie_semantics=tie_semantics,
         )
         dispatched.append((chunk, dirs))
+        # Backpressure: every queued fill pins its (k_q, m_max, w_pad)
+        # output planes in HBM until executed; a tie-heavy read set can
+        # queue many blocks (the same unbounded-lead class that OOM'd
+        # _dispatch_cols at ~28 in-flight window tables).  Waiting on
+        # the dispatch 4 back bounds live state while keeping the
+        # pipeline full.
+        if len(dispatched) >= 4:
+            jax.block_until_ready(dispatched[-4][1])
     for _, dirs in dispatched:
         try:
             dirs.copy_to_host_async()

@@ -626,6 +626,123 @@ def _diag_windows_packed4(refs_i, m: int, t4: int, ilv: bool = False):
     return jnp.stack(cols, axis=2).astype(jnp.int32)  # (C, T4, M)
 
 
+def _diag_windows_packed4_shear(refs_i, m: int, t4: int, ilv: bool = False):
+    """`_diag_windows_packed4` rebuilt from a SHEAR instead of M column
+    slices (round 5).
+
+    The column build stacks M per-lane word slices; XLA serializes the
+    stack into minor-dim strided writes that measure ~10 GB/s — at the
+    131 kb fold shape (C=8, T4=33024, M=256) the 269 MB table costs
+    ~26 ms, as much as the folded kernel itself.  This form builds every
+    shifted view at once: broadcasting the packed ref stream A to
+    (Q, L+Q) rows and reshaping through a width-(L+1) flat buffer yields
+    S[q, t] = A[q + t] (the classic as-strided shear) in a handful of
+    ops; the 4 byte phases are then vectorized shift/ors of S against
+    its +1-word neighbor, and ONE transpose assembles (C, T4, M) — in
+    the interleaved lane order directly, since the H-tile layout is a
+    pure regrouping of the (shear-row, phase) index pair.
+
+    Valid for m % 128 == 0 with m//128 in {1, 2, 4, 8} (every packed
+    lane tier); callers fall back to the column build otherwise.
+    """
+    c, n = refs_i.shape
+    if m % 128 or not (1 <= m // 128 <= 8) or (m // 128 & (m // 128 - 1)):
+        raise ValueError(f"shear build needs m=128*2^k, got m={m}")
+    # Byte-packed padded ref stream, exactly as the column build.
+    l_total = (m - 1) + 4 * t4
+    w = -(-l_total // 4)
+    pad_byte = jnp.int32(1)  # REF_PAD
+    padded = jnp.pad(
+        refs_i, ((0, 0), (m - 1, 4 * w - n - (m - 1))),
+        constant_values=pad_byte,
+    ).astype(jnp.uint32)
+    parts = [
+        jax.lax.slice_in_dim(padded, k, 4 * w, stride=4, axis=1)
+        for k in range(4)
+    ]
+    p4 = parts[0] | (parts[1] << 8) | (parts[2] << 16) | (parts[3] << 24)
+
+    q_rows = m // 4 + 1  # shear rows: q0 in [0, m/4 - 1] plus q0+1
+    lp = t4 + q_rows
+    pad_word = jnp.uint32(0x01010101)  # REF_PAD bytes
+    a = jnp.pad(
+        p4, ((0, 0), (0, lp - p4.shape[1])), constant_values=pad_word
+    )
+    # S[c, q, t] = a[c, q + t]: flatten a (Q, LP) broadcast and re-cut it
+    # at width LP+1 — each row starts one element later.
+    flat = jnp.broadcast_to(a[:, None, :], (c, q_rows, lp)).reshape(
+        c, q_rows * lp
+    )
+    flat = jnp.pad(flat, ((0, 0), (0, q_rows)), constant_values=pad_word)
+    s = flat.reshape(c, q_rows, lp + 1)[:, :, :t4]
+    # Lane i = 4*sa + ph maps to x = m-1-i = 4*(m/4-1-sa) + (3-ph):
+    # shear row q0 = m/4-1-sa (a FLIP over sa) and byte phase r = 3-ph.
+    y0 = jnp.flip(s[:, : q_rows - 1, :], axis=1)  # [sa] = S[m/4-1-sa]
+    y1 = jnp.flip(s[:, 1:q_rows, :], axis=1)      # [sa] = S[m/4-sa]
+    phases = []
+    for ph in range(4):
+        r = 3 - ph
+        if r == 0:
+            phases.append(y0)
+        else:
+            phases.append((y0 >> (8 * r)) | (y1 << (32 - 8 * r)))
+    h = m // 128
+    if not ilv or h <= 1:
+        z = jnp.stack(phases, axis=2)  # (C, M/4, 4, T4)
+        win = jnp.transpose(z, (0, 3, 1, 2)).reshape(c, t4, m)
+    elif h == 2:
+        # phys tile hh holds logical i ≡ hh (mod 2) = phase parity,
+        # ordered by l = i//2 = 2*sa + ph//2.
+        t0 = jnp.stack([phases[0], phases[2]], axis=2)
+        t1 = jnp.stack([phases[1], phases[3]], axis=2)
+        win = jnp.concatenate(
+            [
+                jnp.transpose(t0, (0, 3, 1, 2)).reshape(c, t4, m // 2),
+                jnp.transpose(t1, (0, 3, 1, 2)).reshape(c, t4, m // 2),
+            ],
+            axis=2,
+        )
+    elif h == 4:
+        # i % 4 = ph: tile hh IS phase hh, ordered by sa.
+        win = jnp.concatenate(
+            [
+                jnp.transpose(phases[ph], (0, 2, 1))
+                for ph in range(4)
+            ],
+            axis=2,
+        )
+    else:  # h == 8: i % 8 = 4*(sa % 2) + ph -> strided sa slices
+        tiles = []
+        for hh in range(8):
+            ph, b = hh % 4, hh // 4
+            tiles.append(
+                jnp.transpose(phases[ph][:, b::2, :], (0, 2, 1))
+            )
+        win = jnp.concatenate(tiles, axis=2)
+    return win.astype(jnp.int32)
+
+
+def _windows_packed4_best(refs_i, m: int, t4: int, ilv: bool = False):
+    """Shear build where its layout preconditions hold, else the column
+    build — one entry point for the jitted wrapper below."""
+    h = m // 128
+    if m % 128 == 0 and 1 <= h <= 8 and not (h & (h - 1)):
+        return _diag_windows_packed4_shear(refs_i, m, t4, ilv)
+    return _diag_windows_packed4(refs_i, m, t4, ilv)
+
+
+# One-dispatch form for EAGER call sites (the varlen/multi wrappers are
+# not jitted themselves): the column-stack build is ~770 individual ops
+# at m=256 — op-by-op dispatch costs tens of ms of host time per flush
+# through the remote tunnel, all of which one compiled program removes.
+# Jitted HERE (not by decorating the build fns): the band path builds
+# windows inside a shard_map where an extra nested-jit boundary could
+# disturb the fusion its C<=256 cap guarantees.
+_diag_windows_packed4_jit = jax.jit(
+    _windows_packed4_best, static_argnames=("m", "t4", "ilv")
+)
+
+
 def plan_varlen(read_block: int, m: int, n_max: int, unroll: int = 64):
     """(unroll, t4) for the varlen packed kernel, or None.
 
@@ -920,8 +1037,8 @@ def pallas_lane_best_packed_varlen(
     # layout, no separate transpose pass).  The packed reads still take
     # the standalone `_ilv_jit` (tiny, and fusing a lane transpose into
     # other jits wedges the remote XLA compile helper at these shapes).
-    win4 = _diag_windows_packed4(
-        jnp.asarray(refs).astype(jnp.int32), m, t4, ilv=ilv
+    win4 = _diag_windows_packed4_jit(
+        jnp.asarray(refs).astype(jnp.int32), m=m, t4=t4, ilv=ilv
     )
     packed_i = jnp.asarray(packed, jnp.int32)
     if ilv:
@@ -1638,6 +1755,265 @@ def _lane_best_chunked_call(
         interpret=interpret,
     )(packed, windows)
     return out  # (C, ROWS, M)
+
+
+def plan_multi(
+    read_block: int, m: int, cf: int, unroll: int = 32, chunk4: int = 256
+):
+    """(unroll, chunk4) for the multi-ref FOLDED chunked kernel, or None.
+
+    The folded kernel's DP state is (cf * read_block, m) — cf references'
+    independent wavefronts advance in ONE serial diagonal chain — and its
+    window block is (cf, chunk4, m) byte-packed words (triple-buffered by
+    Mosaic's grid pipeline).  unroll must be a multiple of 4 (byte
+    unpack) and divide the 4*chunk4 diagonals of a chunk.
+
+    The search maximizes the UNROLL across chunk sizes (a smaller chunk
+    costs only more grid programs — scratch save/restore is ~2 MB of
+    VMEM traffic each — while unroll feeds the serial chain its ILP:
+    first-fit on the largest chunk picked (u=32, c4=256) at the 131 kb
+    bench shape where (u=64, c4=128) also fits)."""
+    rows = cf * read_block
+    limit = _vmem_limit()
+    best = None
+    c4 = chunk4
+    while c4 >= 8:
+        u = min(unroll, 4 * c4) & ~3
+        while u >= 4:
+            est = 4 * (
+                (0.65 * u + 6) * rows * m
+                + 3 * cf * c4 * m
+                + read_block * m
+            )
+            if est <= limit and (4 * c4) % u == 0:
+                if best is None or (u, c4) > best:
+                    best = (u, c4)
+                break
+            u -= 4
+        c4 //= 2
+    return best
+
+
+def _chunked_kernel_packed_multi(
+    reads_ref, win_ref, out_ref, d1_s, r1_s, r2_s, best_s,
+    *, match, mismatch, gap, cf, chunk4, unroll, num_chunks, interleaved,
+):
+    """Chunked packed wavefront with CF references FOLDED into the row
+    dimension of one program.
+
+    Motivation (round 5): the chunked kernels' serial diagonal chain is
+    latency-bound below ~256 state rows, and grid programs on one
+    TensorCore run sequentially — so a few-reads x long-refs dispatch
+    (e.g. 64 reads -> 32 packed rows vs 8 x 131 kb refs) pays C
+    independent full-length chains at a fraction of the VPU's width
+    (measured 54.5 GCUPS e2e vs the 251 committed at 256 rows).  Folding
+    CF refs' row blocks into one (CF*RB, M) state runs their wavefronts
+    in lockstep on ONE chain: same recurrence, CF x the ILP per step,
+    CF x fewer serial steps in total.
+
+    The per-step substitution operand differs per row group: word
+    ``win[g, t4, :]`` broadcasts over row group g's RB rows (a sublane
+    broadcast + static concat — no extra HBM traffic; the byte unpack
+    shift/mask happens after the fold, once per 4 diagonals).
+
+    Parity contract is identical to ``_chunked_kernel_packed`` per row
+    group; the reference analogue is still one Spark job per diagonal
+    (``src/sw/DistributedSW.java:192-245``) — the fold has no analogue
+    there because Spark parallelizes ACROSS cells of one diagonal, not
+    across matrices.
+    """
+    rb, m = reads_ref.shape
+    rows = cf * rb
+    dt = jnp.int32
+    tc = pl.program_id(2)
+
+    @pl.when(tc == 0)
+    def _init():
+        z = jnp.zeros((rows, m), dt)
+        d1_s[...] = z
+        r1_s[...] = z
+        r2_s[...] = z
+        best_s[...] = z
+
+    raw = reads_ref[:]
+    raw_x = (
+        jnp.concatenate([raw] * cf, axis=0) if cf > 1 else raw
+    )  # (CF*RB, M): same packed reads face every folded ref
+    reads_block = raw_x & (_START_BIT - 1)
+    startm = raw_x >= _START_BIT
+    h = m // 128
+    if interleaved and h > 1:
+        shift1 = _make_ilv_shift1(h)
+        col_log = _ilv_logical_col((rows, m), h)
+        shift_left = _make_ilv_shift_left(h, col_log)
+    else:
+        shift1 = None
+        shift_left = _plain_shift_left
+    step = _make_step(
+        reads_block, startm, match, mismatch, gap, dt, shift1=shift1
+    )
+    words = unroll // 4
+
+    def load_words(base_word):
+        """(CF, 1, M) window words -> (CF*RB, M): row group g gets
+        win[g] (sublane broadcast; static concat across groups)."""
+        parts = []
+        for g in range(cf):
+            wg = win_ref[g, pl.ds(base_word, 1), :]  # (1, M)
+            parts.append(jnp.broadcast_to(wg, (rb, m)))
+        return parts[0] if cf == 1 else jnp.concatenate(parts, axis=0)
+
+    def body(t, carry):
+        d1, r1, r2, best = carry
+        base = words * t
+        bm = None
+        prev = None
+        w = None
+        for k in range(unroll):
+            if k % 4 == 0:
+                w = load_words(base + k // 4)
+                refwin = w & 255
+            else:
+                refwin = (w >> (8 * (k % 4))) & 255
+            c1, rc = step(d1, r1, r2, refwin)
+            if prev is None:
+                prev = c1
+            else:
+                pair = jnp.maximum(prev, c1)
+                bm = pair if bm is None else jnp.maximum(bm, pair)
+                prev = None
+            d1, r2, r1 = c1, r1, rc
+        if prev is not None:
+            bm = prev if bm is None else jnp.maximum(bm, prev)
+        return d1, r1, r2, jnp.maximum(best, bm)
+
+    d1, r1, r2, best = jax.lax.fori_loop(
+        0, (4 * chunk4) // unroll, body,
+        (d1_s[...], r1_s[...], r2_s[...], best_s[...]),
+    )
+    d1_s[...] = d1
+    r1_s[...] = r1
+    r2_s[...] = r2
+    best_s[...] = best
+
+    @pl.when(tc == num_chunks - 1)
+    def _emit():
+        sm = _segmented_suffix_max(best, startm, shift_left=shift_left)
+        for g in range(cf):
+            out_ref[g, :, :] = sm[g * rb : (g + 1) * rb, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "read_block", "cf", "chunk4", "unroll",
+        "num_chunks", "interleaved", "interpret",
+    ),
+)
+def _multi_call(
+    packed, win4, *, match, mismatch, gap, read_block, cf, chunk4, unroll,
+    num_chunks, interleaved, interpret,
+):
+    rows, m = packed.shape
+    c, t4, _ = win4.shape
+    n = 4 * t4 - m + 1
+    grid = (c // cf, rows // read_block, num_chunks)
+    kernel = functools.partial(
+        _chunked_kernel_packed_multi,
+        match=match, mismatch=mismatch, gap=gap, cf=cf, chunk4=chunk4,
+        unroll=unroll, num_chunks=num_chunks, interleaved=interleaved,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, rows, m), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (read_block, m), lambda ci, ri, tc: (ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cf, chunk4, m), lambda ci, ri, tc: (ci, tc, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (cf, read_block, m), lambda ci, ri, tc: (ci, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cf * read_block, m), jnp.int32) for _ in range(4)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * m * c * n,
+            bytes_accessed=4 * (rows * m + c * t4 * m + c * rows * m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed, win4)
+    return out  # (C, ROWS, M)
+
+
+def pallas_lane_best_packed_multi(
+    packed,
+    refs,
+    match,
+    mismatch,
+    gap,
+    *,
+    read_block: int,
+    cf: int,
+    unroll: int = 32,
+    chunk4: int = 256,
+    interpret: bool = False,
+    deinterleave: bool = True,
+):
+    """(C, ROWS, M) per-lane maxima with CF refs folded per program.
+
+    Same output contract as :func:`pallas_lane_best_packed` (use
+    ``read_best`` / ``packed_col_sums`` with the start indices —
+    physical-layout indices via :func:`varlen_start_phys` when
+    ``deinterleave=False`` and m interleaves).  Requirements:
+    ``rows % read_block == 0`` and ``C % cf == 0`` (pad refs with
+    all-REF_PAD rows; they score 0 but cost a full sweep — callers
+    should pick cf to divide the padded C with little waste).
+    """
+    rows, m = packed.shape
+    c, n = refs.shape
+    if rows % read_block != 0:
+        raise ValueError(
+            f"ROWS={rows} must be a multiple of read_block={read_block}"
+        )
+    if c % cf != 0:
+        raise ValueError(f"C={c} must be a multiple of cf={cf}")
+    match, mismatch, gap = int(match), int(mismatch), int(gap)
+    plan = plan_multi(read_block, m, cf, unroll, chunk4)
+    if plan is None:
+        raise ValueError(
+            f"multi-ref folded kernel cannot fit VMEM at "
+            f"read_block={read_block}, m={m}, cf={cf}"
+        )
+    u, c4 = plan
+    diags = m + n - 1
+    num_chunks = -(-diags // (4 * c4))
+    t4 = num_chunks * c4
+    ilv = m % 128 == 0 and m // 128 > 1
+    win4 = _diag_windows_packed4_jit(
+        jnp.asarray(refs).astype(jnp.int32), m=m, t4=t4, ilv=ilv
+    )
+    packed_i = jnp.asarray(packed, jnp.int32)
+    if ilv:
+        packed_i = _ilv_jit(packed_i)
+    out = _multi_call(
+        packed_i, win4,
+        match=match, mismatch=mismatch, gap=gap,
+        read_block=read_block, cf=cf, chunk4=c4, unroll=u,
+        num_chunks=num_chunks, interleaved=ilv, interpret=interpret,
+    )
+    return _deilv_jit(out) if (ilv and deinterleave) else out
 
 
 def _make_step(reads_block, lane0, match, mismatch, gap, dt, shift1=None):

@@ -48,6 +48,10 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from sparksmithwaterman_tpu.io.fasta import READ_PAD, REF_PAD, encode_batch
+from sparksmithwaterman_tpu.models.batch_backend import (
+    _INT32_SAFE,
+    _quantize_15,
+)
 
 
 def _device_fill(reads_t, seg_ref, match, mismatch, gap, *, stripe, axis):
@@ -492,6 +496,15 @@ class SeqParallelBackend:
         quantum = size * self.ref_bucket
         s = self.scoring
         prepack = band_prepack(reads) if self._use_band else None
+        # int32-exactness guard (VERDICT r4 weak-6): a per-ref total
+        # sums R per-read bests, each bounded by match * m_read; beyond
+        # r_safe reads the device int32 sum could silently wrap (fine at
+        # 512 reads, wrong at ~10^6 x 150bp).  Reads are reduced in
+        # r_safe-sized partials — each exact — and the partials
+        # accumulate in int64 on the host, the same discipline as
+        # BatchBackend's r_limit + carry-pair reduce.
+        m_read = max((len(r) for r in reads), default=1)
+        r_safe = max(1, _INT32_SAFE // max(1, s.match * m_read))
         real_cells = sum(len(r) for r in ref_seqs) * sum(len(r) for r in reads)
         with self.gcups.measure_lazy() as done:
             # Group refs by quantized padded length; each group chunk is
@@ -499,9 +512,17 @@ class SeqParallelBackend:
             # per-ref dispatch loop dominated this strategy's runtime) —
             # and everything stays PIPELINED: nothing is fetched until
             # every chunk is dispatched.
+            # Padded length on the 1.5-mantissa LADDER (quantum * {2^k,
+            # 1.5*2^k}), not linear quantum multiples: a corpus-shaped
+            # mixed-length ref set (e.g. 8 kb - 1 Mb) would otherwise
+            # mint one compiled (ns, t4) band shape per distinct length
+            # group — each a remote compile-service round trip — while
+            # the ladder bounds shapes at O(log) for <= 1.33x padding
+            # (the same trade measured on the batch path; VERDICT r4
+            # weak-4).
             groups: dict = {}
             for i, ref in enumerate(ref_seqs):
-                n = max(-(-len(ref) // quantum) * quantum, quantum)
+                n = _quantize_15(max(len(ref), 1), quantum)
                 groups.setdefault(n, []).append(i)
             pending = []  # (indices, (C,) device sums)
             for n, idx in sorted(groups.items()):
@@ -541,16 +562,27 @@ class SeqParallelBackend:
                             reads_enc, refs_enc, s.match, s.mismatch, s.gap,
                             mesh=self.mesh, axis=self.axis, stripe=self.stripe,
                         )  # (C_q, B)
-                    pending.append((chunk, scores.sum(axis=1, dtype=jnp.int32)))
+                    r_tot = scores.shape[1]
+                    if r_tot > r_safe:
+                        k = -(-r_tot // r_safe)
+                        scores = jnp.pad(
+                            scores, ((0, 0), (0, k * r_safe - r_tot))
+                        ).reshape(scores.shape[0], k, r_safe)
+                    else:
+                        scores = scores[:, None, :]
+                    pending.append(
+                        (chunk, scores.sum(axis=2, dtype=jnp.int32))
+                    )
             flat = np.asarray(
-                jnp.concatenate([col for _, col in pending])
+                jnp.concatenate([col.ravel() for _, col in pending])
             )  # ONE fetch
             off = 0
             for chunk, col in pending:
-                totals[chunk] = flat[off : off + col.shape[0]][
-                    : len(chunk)
-                ].astype(np.int64)
-                off += col.shape[0]
+                part = flat[off : off + col.size].reshape(col.shape)
+                off += col.size
+                totals[chunk] = (
+                    part[: len(chunk)].astype(np.int64).sum(axis=1)
+                )
             done(real_cells)
         return totals
 

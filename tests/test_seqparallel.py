@@ -221,3 +221,25 @@ def test_seqparallel_backend_totals_batched(tmp_path, make_seq):
     got = be.totals(reads, refs)
     want = SerialBackend(cfg.scoring).totals(reads, refs)
     np.testing.assert_array_equal(got, want)
+
+
+def test_seqparallel_totals_int32_partial_sums(make_seq, monkeypatch):
+    """The read-axis reduction must stay exact past the int32-safe read
+    count (VERDICT r4 weak-6): force a tiny r_safe so totals() takes the
+    partial-sum path and still matches the serial engine."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models.aligner import SerialBackend
+    from sparksmithwaterman_tpu.parallel import seqparallel as sp
+
+    cfg = AlignConfig(
+        ref_dir=".", in_dir=".", out_dir=".", strategy="shard_seq",
+        read_bucket=8, ref_bucket=8,
+    )
+    reads = [make_seq(10) for _ in range(7)]
+    refs = [make_seq(int(n)) for n in (30, 64, 17)]
+    want = SerialBackend(cfg.scoring).totals(reads, refs)
+    # match * m_read = 50 -> r_safe = 2 with this bound: 7 reads need
+    # 4 partials per ref.
+    monkeypatch.setattr(sp, "_INT32_SAFE", 100)
+    got = sp.SeqParallelBackend(cfg).totals(reads, refs)
+    np.testing.assert_array_equal(got, want)
