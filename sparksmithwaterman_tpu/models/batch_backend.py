@@ -50,10 +50,16 @@ def _col_sums(scores):
     """(R, C) device score grid -> (C,) per-ref column sums, on device."""
     return scores.sum(axis=0)
 
-# Element budget for the (R, C, N) DP state of one score_grid call and the
-# (B, M, N) fill of one traceback call (int32 words).
+# Element budget for the (R, C, N) DP state of one score_grid call
+# (int32 words).
 _SCORE_BUDGET = 1 << 24
-_FILL_BUDGET = 1 << 24
+# Element budget for the (B, M, N) fill of one traceback call.  Raised
+# 2^24 -> 2^26 in round 5: at 20k reads x one ~2 kb winner the fill
+# budget set b_block=32 and the winner traceback paid 625 chunk
+# dispatches per pass (24% of the pipeline wall); 128-read chunks cut
+# that 4x at ~870 MB of transient fill state per dispatch — well within
+# HBM, and only the (B, capacity, 4m) outputs stay pinned.
+_FILL_BUDGET = 1 << 26
 
 # Per-dispatch column sums are int32 on device; a dispatch's read count
 # is capped so r * match * m_pad stays below this (margin of 2^24 under
@@ -805,16 +811,23 @@ class BatchBackend:
         if not reads:
             return []
         n_pad = _pad_len(len(ref_seq), self.ref_bucket) if ref_seq else self.ref_bucket
-        # Long-reference mode: find max cells on device and re-fill only
-        # bounded windows (ops/longseq.py, BASELINE config 5).  Taken
-        # whenever fewer than 8 pairs fit one full-matrix fill budget —
-        # at that point the normal path degenerates to per-read
-        # dispatches of O(m*n) lax fills (a 131 kb ref sat EXACTLY on
-        # the old `n*m > budget` boundary and took the normal path at
-        # b_block=1: 64 fills of 134 M cells each, ~65 s for one
-        # winner's traceback).
+        # Windowed/batched mode: find max cells with ONE device argmax
+        # pass and re-fill only bounded windows (ops/longseq.py).  Taken
+        # (a) for long references — whenever fewer than 8 pairs fit one
+        # full-matrix fill budget; the normal path would degenerate to
+        # per-read O(m*n) lax fills (a 131 kb ref sat EXACTLY on the old
+        # `n*m > budget` boundary and took ~65 s for one winner) — and
+        # (b) for LARGE READ SETS against any reference (round 5): the
+        # fill+trace chunk path's max-cell extraction is an argwhere
+        # over every (B, M, N) cell whose cost scales with the batch
+        # (measured 78 s per winner at 20k reads x 2 kb — 24% of the
+        # read-scale pipeline wall), while the argmax kernel pass costs
+        # one sweep of the grid at kernel rate.
         max_m = max((len(r) for r in reads), default=0)
-        if max_m and 8 * n_pad * _pad_len(max_m, self.read_bucket) > _FILL_BUDGET:
+        if max_m and (
+            8 * n_pad * _pad_len(max_m, self.read_bucket) > _FILL_BUDGET
+            or len(reads) >= 1024
+        ):
             from sparksmithwaterman_tpu.ops.longseq import (
                 find_max_cells_batched,
                 sites_for_ref_long_batched,

@@ -208,11 +208,21 @@ def find_max_cells_batched(
         pad = np.full((r_q - reads_enc.shape[0], m_pad), READ_PAD, np.uint8)
         reads_enc = np.concatenate([reads_enc, pad], axis=0)
     ref_enc = encode_batch([ref_seq], len(ref_seq), REF_PAD)
+    rb = min(read_block, r_q)
+    # Scoped-VMEM guard: the argmax body carries THREE extra (rb, m)
+    # values (best, bestd, count) plus two masks through the unrolled
+    # diagonal chain — roughly 2-3x the score kernel's stack per row.
+    # rb=256 x m=152 compiled to a 22.5 MB scoped stack (16 MB limit)
+    # when the round-5 read-scale gate first routed 2k-read sets here;
+    # capping rb * m keeps the stack in budget (chunked wall time is
+    # nearly flat in rb, so smaller blocks only add grid iterations).
+    while rb > 8 and rb * m_pad > 16384:
+        rb //= 2
     best, bestd, count = pallas_argmax_grid_diag_chunked(
         reads_enc,
         ref_enc,
         *(int(p) for p in params),
-        read_block=min(read_block, r_q),
+        read_block=rb,
         interpret=interpret,
     )
     best = np.asarray(best)[: len(reads), 0]    # (R, M) per-lane best
@@ -350,6 +360,28 @@ def sites_for_pair_long(
     return sites
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "tie_semantics"))
+def _fill_walk_known(
+    read_win, windows, cells, match, mismatch, gap, *, cap, tie_semantics
+):
+    """Window fill + ON-DEVICE walk of one KNOWN max cell per pair.
+
+    Returns (begins, codes): (B,) window-coordinate 1-based start
+    columns and (B, cap) int8 walk codes.  Fetching these instead of
+    the (B, M, W) int8 direction planes matters through a remote-TPU
+    tunnel: the planes are ~40 MB per 512-job block (~1.2 s each at
+    tunnel bandwidth — the round-5 read-scale profile measured the
+    dirs fetch as the whole path's wall), the codes are ~0.3 MB.
+    """
+    from sparksmithwaterman_tpu.ops.device_traceback import _trace_one
+
+    _h, dirs = fill_pairs(
+        read_win, windows, match, mismatch, gap,
+        tie_semantics=tie_semantics,
+    )
+    return jax.vmap(lambda d, c: _trace_one(d, c, cap))(dirs, cells)
+
+
 def sites_for_ref_long_batched(
     ref_seq: str,
     reads: List[str],
@@ -361,16 +393,16 @@ def sites_for_ref_long_batched(
     tie_semantics: str = "serial",
 ) -> List[List[Site]]:
     """Per-read site lists vs ONE long reference, with EVERY read's
-    max-cell windows filled in batched dispatches.
+    max-cell windows filled AND walked in batched device dispatches.
 
     The per-read :func:`sites_for_pair_long` loop costs one window-fill
     dispatch + one fetch round trip PER READ (measured ~1.1 s/read
     through a remote-TPU tunnel — 90 s to trace 64 reads against a
     131 kb reference); this form collects all reads' windows into
-    shape-quantized batches, fetches only the int8 direction planes
-    (the score plane is never consulted by the walk), and walks on the
-    host.  Site order per read = row-major max-cell discovery, same as
-    the per-read path.
+    shape-quantized batches, walks each job's (single, known) max cell
+    on device, and fetches only (begin, codes) per job — the host then
+    assembles strings vectorized.  Site order per read = row-major
+    max-cell discovery, same as the per-read path.
     """
     n = len(ref_seq)
     out: List[List[Site]] = [[] for _ in reads]
@@ -399,7 +431,10 @@ def sites_for_ref_long_batched(
         return out
 
     sites_per_job: List[Site] = []
-    # One batched fill per ~quantized job block (8 * 2^k rows).
+    # One batched fill+walk per ~quantized job block (8 * 2^k rows).
+    # Walk cap: every step consumes a read row or a window column, so
+    # m_max + w_pad bounds any path inside the window.
+    cap = m_max + w_pad
     block = 512
     dispatched = []
     for start in range(0, len(jobs), block):
@@ -409,39 +444,53 @@ def sites_for_ref_long_batched(
             k_q *= 2
         windows = np.full((k_q, w_pad), REF_PAD, np.uint8)
         read_rows = [""] * k_q
-        for t, (ridx, _i, j) in enumerate(chunk):
+        cells = np.zeros((k_q, 2), np.int32)
+        for t, (ridx, i, j) in enumerate(chunk):
             j0 = max(0, j - w)
             windows[t, w_pad - (j - j0) :] = encode_batch(
                 [ref_seq[j0:j]], j - j0, REF_PAD
             )[0]
             read_rows[t] = reads[ridx]
+            cells[t] = (i - 1, w_pad - 1)  # 0-based max cell in window
         read_win = encode_batch(read_rows, m_max, READ_PAD)
-        _h, dirs = fill_pairs(
-            read_win, jnp.asarray(windows), *params,
-            tie_semantics=tie_semantics,
+        outs = _fill_walk_known(
+            read_win, jnp.asarray(windows), jnp.asarray(cells), *params,
+            cap=cap, tie_semantics=tie_semantics,
         )
-        dispatched.append((chunk, dirs))
-        # Backpressure: every queued fill pins its (k_q, m_max, w_pad)
-        # output planes in HBM until executed; a tie-heavy read set can
-        # queue many blocks (the same unbounded-lead class that OOM'd
-        # _dispatch_cols at ~28 in-flight window tables).  Waiting on
-        # the dispatch 4 back bounds live state while keeping the
-        # pipeline full.
+        dispatched.append((chunk, outs))
+        # Backpressure: every queued fill's transient (k_q, m_max,
+        # w_pad) planes live in HBM until executed; a tie-heavy read
+        # set can queue many blocks (the same unbounded-lead class
+        # that OOM'd _dispatch_cols at ~28 in-flight window tables).
+        # Waiting on the dispatch 4 back bounds live state while
+        # keeping the pipeline full.
         if len(dispatched) >= 4:
             jax.block_until_ready(dispatched[-4][1])
-    for _, dirs in dispatched:
-        try:
-            dirs.copy_to_host_async()
-        except Exception:  # pragma: no cover - backend-dependent
-            break
-    for chunk, dirs in dispatched:
-        dirs = np.asarray(dirs)
+    for _, outs in dispatched:
+        for arr in outs:
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend-dependent
+                break
+    from sparksmithwaterman_tpu.ops.device_traceback import assemble_site
+
+    for chunk, (begins, codes) in dispatched:
+        begins, codes = np.asarray(begins), np.asarray(codes)
         for t, (ridx, i, j) in enumerate(chunk):
-            begin_w, aligned = _walk_window(
-                dirs[t], i, w_pad, ref_seq, j - w_pad,
-                reads[ridx], gap_char,
+            off = j - w_pad  # window col c <-> ref col c + off
+            beg_w = int(begins[t])
+            sites_per_job.append(
+                assemble_site(
+                    codes[t],
+                    beg_w + off if beg_w > 0 else 0,
+                    (i - 1, j - 1),  # j_end in REAL ref coords: j_pos
+                    # arithmetic inside assemble_site then indexes the
+                    # original ref string directly
+                    ref_seq,
+                    reads[ridx],
+                    gap_char,
+                )
             )
-            sites_per_job.append((begin_w + j - w_pad, aligned))
     for (ridx, _i, _j), site in zip(jobs, sites_per_job):
         out[ridx].append(site)
     return out

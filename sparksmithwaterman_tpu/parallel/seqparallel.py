@@ -537,9 +537,14 @@ class SeqParallelBackend:
                     c_block = min(c_block, 256)
                 for start in range(0, len(idx), c_block):
                     chunk = idx[start : start + c_block]
-                    # Quantize the chunk's ref count (8 * 2^k ladder) so
-                    # ragged tails reuse one compiled shape.
-                    c_q = 8
+                    # Quantize the chunk's ref count (2^k ladder) so
+                    # ragged tails reuse one compiled shape.  The ladder
+                    # starts at 1, NOT 8: long refs dispatch in chunks
+                    # of 1-2 (the per-device state budget), and padding
+                    # a single 1 Mb ref to 8 would sweep 7 all-pad
+                    # bands — 87% waste on exactly the workload this
+                    # strategy exists for.
+                    c_q = 1
                     while c_q < len(chunk):
                         c_q *= 2
                     refs_enc = encode_batch(
