@@ -73,6 +73,15 @@ _INT32_SAFE = (1 << 31) - (1 << 24)
 # _SCORE_BUDGET — fewer, larger calls amortize dispatch + table build.
 _TABLE_BUDGET = 1 << 27
 
+# Element budget for one packed dispatch's (C, ROWS, M) per-lane OUTPUT
+# (int32 words; 1<<28 = 1 GB).  At small read sets the window table is
+# the binding constraint, but the output scales with the pack: at 100k
+# reads (47,904 rows x m=256) a table-budget chunk of 512 refs would
+# materialize a 25 GB lane-best buffer — an HBM OOM the round-5
+# read-scale run hit.  With the 4-deep dispatch backpressure at most a
+# few of these are ever live.
+_OUT_BUDGET = 1 << 28
+
 # Beyond this padded ref length the whole-table wavefront kernel's
 # (M+N, M) VMEM window no longer fits; stream it in chunks instead.
 _CHUNKED_REF_N = 8192
@@ -444,7 +453,14 @@ class BatchBackend:
                     self.ref_bucket,
                 )
                 words_g = max(1, (n_pad_g + m_pack) * m_pack // 4)
-                c_block_g = max(1, _TABLE_BUDGET // words_g)
+                out_per_ref = max(1, pack["rows"] * m_pack)
+                c_block_g = max(
+                    1,
+                    min(
+                        _TABLE_BUDGET // words_g,
+                        _OUT_BUDGET // out_per_ref,
+                    ),
+                )
                 canonical = len(order) > c_block_g
                 start = 0
                 while start < len(order):
@@ -458,7 +474,13 @@ class BatchBackend:
                         words_per_ref = max(
                             1, (n_pad + m_pack) * m_pack // 4
                         )
-                        c_block = max(1, _TABLE_BUDGET // words_per_ref)
+                        c_block = max(
+                            1,
+                            min(
+                                _TABLE_BUDGET // words_per_ref,
+                                _OUT_BUDGET // out_per_ref,
+                            ),
+                        )
                     # One maximal chunk per table budget — splitting at
                     # length-halving boundaries (smaller window DMA per
                     # short-ref program) was measured WORSE: ~17 ms of
@@ -508,7 +530,10 @@ class BatchBackend:
             for n_pad, ref_idx in sorted(ref_groups.items()):
                 for pack in packs:
                     m_pack = pack["m_pack"]
-                    budget = _TABLE_BUDGET // max(1, (n_pad + m_pack) * m_pack)
+                    budget = min(
+                        _TABLE_BUDGET // max(1, (n_pad + m_pack) * m_pack),
+                        _OUT_BUDGET // max(1, pack["rows"] * m_pack),
+                    )
                     c_block = max(1, min(len(ref_idx), budget))
                     for start in range(0, len(ref_idx), c_block):
                         chunk = ref_idx[start : start + c_block]
