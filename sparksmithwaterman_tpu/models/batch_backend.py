@@ -636,21 +636,26 @@ class BatchBackend:
         # mixed), costing more than the faster geometry recovers.  The
         # interleaved lane layout (ops/pallas_score) attacks the wide-
         # row roll cost directly instead.
-        m_floor = max(2 * self.read_bucket, 128)
+        import os
+
+        # SWTPU_DUAL_TIER=1: the A/B knob for re-testing the rejected
+        # per-length tier split at read scale (experiments/
+        # dualtier_ab.py; VERDICT r4 task 5).  The dual config drops the
+        # tier floor to one 128-lane tile so <=128bp reads take the
+        # single-tile roll geometry — the round-3 hypothesis — while
+        # the shipped single-tier config packs everything at the widest
+        # tier (the 512-read measurement showed the split destroys
+        # bin-packing fill: 129-150bp reads cannot pair in 256 lanes).
+        dual = bool(os.environ.get("SWTPU_DUAL_TIER"))
+        m_floor = max(self.read_bucket if dual else 2 * self.read_bucket, 128)
         tiers: Dict[int, List[int]] = {}
         for i, r in enumerate(reads):
             m_tier = m_floor
             while m_tier < len(r):
                 m_tier *= 2
             tiers.setdefault(m_tier, []).append(i)
-        import os
-
-        if len(tiers) > 1 and not os.environ.get("SWTPU_DUAL_TIER"):
-            # collapse to the widest tier (see above).  SWTPU_DUAL_TIER=1
-            # keeps the split — the A/B knob for re-testing the decision
-            # at read scale (experiments/dualtier_ab.py; the 512-read
-            # measurement rejected it on bin-packing fill, VERDICT r4
-            # task 5 asks whether 20k+ reads invert that).
+        if len(tiers) > 1 and not dual:
+            # collapse to the widest tier (see above)
             m_top = max(tiers)
             tiers = {m_top: sorted(i for t in tiers.values() for i in t)}
 
@@ -744,15 +749,26 @@ class BatchBackend:
             plan_multi,
         )
 
+        from sparksmithwaterman_tpu.ops.pallas_score import plan_diag
+
         rows, m_pack = pack["rows"], pack["m_pack"]
         rb = self._pack_read_block(rows, m_pack)
         # Few-rows dispatches (long-ref workloads: few reads, the varlen
         # plan can't fit) FOLD several refs into one program so their
         # wavefronts share a serial diagonal chain — the chunked kernel
         # is latency-bound below ~256 rows (measured 54.5 -> 200+ GCUPS
-        # on the 64-read x 8x131kb bench shape).
+        # on the 64-read x 8x131kb bench shape).  Even at cf=1, a ref
+        # past the whole-table regime takes the multi kernel: its BYTE-
+        # PACKED window is 4x smaller than the legacy chunked kernel's
+        # unpacked table (1.07 GB per 1 Mb ref — several in the 4-deep
+        # pipeline OOM'd HBM on the round-5 mixed-long-ref run).
         cf = _choose_fold(refs_enc.shape[0], rows)
-        if cf > 1 and plan_multi(rb, m_pack, cf) is not None:
+        use_multi = plan_multi(rb, m_pack, cf) is not None and (
+            cf > 1
+            or refs_enc.shape[1] > _CHUNKED_REF_N
+            or plan_diag(rb, m_pack, refs_enc.shape[1]) is None
+        )
+        if use_multi:
             c_pad = -(-refs_enc.shape[0] // cf) * cf
             refs_enc = _pad_rows(refs_enc, c_pad, REF_PAD)
             lane = self._vmem_retry(

@@ -210,7 +210,7 @@ def _seqp_band_call(
     """
     from sparksmithwaterman_tpu.ops.pallas_score import (
         _band_call,
-        _diag_windows_packed4,
+        _windows_packed4_best,
     )
 
     rows, m = packed_i.shape
@@ -220,11 +220,14 @@ def _seqp_band_call(
         size = jax.lax.psum(1, axis)
         c = refs_seg.shape[0]
         # Built per chip INSIDE the shard_map (parallel, no size-x
-        # replication).  Safe only because the backend caps the ref
-        # chunk at 256: beyond that, non-128-multiple C makes the
-        # column stack stop fusing under the SPMD partitioner
-        # (engine._c_pad_fusable documents the measured 65 GB OOM).
-        win4 = _diag_windows_packed4(
+        # replication) — the SHEAR form: under the SPMD partitioner the
+        # column-stack build materializes one 128x-padded (1, T4, 1)
+        # temp per lane (65 MB each at a 0.5 Mb segment's T4=133k —
+        # measured 16.3 GB HBM OOM on the round-5 mixed-long-ref
+        # pipeline run), while the shear's intermediates keep T4 minor
+        # and fuse.  The C<=256 chunk cap stays (engine._c_pad_fusable
+        # documents the column build's other boundary).
+        win4 = _windows_packed4_best(
             refs_seg.astype(jnp.int32), m, t4, ilv=interleaved
         )  # (C, T4, M) for THIS chip's segments, kernel lane order
         rounds = c + size - 1
