@@ -51,16 +51,15 @@ THRESHOLDS = {
     "pipeline_gcups": 215.0,
     # 131 kb refs via the round-5 multi-ref folded kernel, SUSTAINED
     # (pipeline-protocol best_of_async overlap; see bench_longref) —
-    # measured 196.4 (round 4 shipped 54.5 on this workload).
-    "longref_gcups": 160.0,
-    # Same workload, sequential totals() calls (RTT-bound single-flush).
+    # measured 196.4-206.7 (round 4 shipped 54.5 on this workload).
+    "longref_gcups": 170.0,
+    # Same workload, sequential totals() calls (RTT-bound single-flush;
+    # measured 85-107 — the spread is the tunnel round trip itself).
     "longref_single_gcups": 60.0,
-    # 256 Mbp x 512 reads through run_pipeline (placeholder floors until
-    # the round-5 hardware numbers land; the 1 Gbp experiment sustained
-    # 313 warm / 150 cold-process in round 4).
-    "corpus_gcups": 130.0,
-    # 20k reads x 8 Mbp refs through run_pipeline.
-    "readscale_gcups": 130.0,
+    # 256 Mbp x 512 reads through run_pipeline — measured 280.3.
+    "corpus_gcups": 240.0,
+    # 20k reads x 8 Mbp refs through run_pipeline — measured 273.0.
+    "readscale_gcups": 230.0,
 }
 
 # Upper bounds for latency metrics (warm): regression gates in the
