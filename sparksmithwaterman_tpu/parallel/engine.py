@@ -571,8 +571,21 @@ class ShardedBackend(BatchBackend):
         psum inside ``_sharded_packed_call``.  On non-TPU backends the
         packed path is never taken (use_pallas gates it), so the lax
         sharded path keeps CPU-mesh coverage.
+
+        On a 1-device mesh this delegates to the single-device override
+        — NOT the round-1 defect (there is nothing to shard): the
+        BatchBackend path brings the round-5 multi-ref FOLD and the
+        byte-packed window, which this grouped mesh form lacks (its
+        unpacked table is 4x larger and its serial chains run unfolded
+        — the 54-GCUPS class on long-ref corpora).  Real meshes keep
+        the sharded grouped form for this fallback; its workloads
+        (varlen-plan failures: very long refs) are also exactly where
+        ``shard_seq`` is the intended strategy.
         """
         from sparksmithwaterman_tpu.models.batch_backend import _pad_rows
+
+        if self.mesh.size == 1:
+            return super()._packed_col_sums(pack, refs_enc)
 
         m_pack = pack["m_pack"]
         shard_rows = pack["rows"] // self._dr

@@ -174,3 +174,85 @@ def test_multi_rejects_bad_fold():
             cf=2,
             interpret=True,
         )
+
+
+def test_out_budget_caps_ref_chunks(monkeypatch):
+    """The per-dispatch (C, ROWS, M) output cap must split ref chunks
+    without changing totals (the 100k-read 25 GB HBM OOM class)."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models import batch_backend as bb
+    from sparksmithwaterman_tpu.ops import pallas_score as ps
+
+    rng = np.random.default_rng(29)
+    reads = _rand_seqs(rng, rng.integers(20, 90, size=10))
+    refs = _rand_seqs(rng, rng.integers(60, 200, size=12))
+    cfg = AlignConfig(
+        ref_dir=".", in_dir=".", out_dir=".", read_bucket=32, ref_bucket=64
+    )
+    want = bb.BatchBackend(cfg).totals(reads, refs)
+
+    real_varlen = ps.pallas_lane_best_packed_varlen
+    shapes = []
+
+    def fake_varlen(packed, refs_enc, *a, **k):
+        k["interpret"] = True
+        k["unroll"] = min(k.get("unroll", 8), 8)
+        shapes.append(refs_enc.shape[0])
+        return real_varlen(packed, refs_enc, *a, **k)
+
+    monkeypatch.setattr(
+        "sparksmithwaterman_tpu.ops.pallas_score."
+        "pallas_lane_best_packed_varlen",
+        fake_varlen,
+    )
+    # Force the output cap to ~2 refs per dispatch.
+    rows_m = 8 * 128  # one pack row block at m_pack=128
+    monkeypatch.setattr(bb, "_OUT_BUDGET", 2 * rows_m)
+    be = bb.BatchBackend(cfg)
+    be.use_pallas = True
+    got = be.totals(reads, refs)
+    np.testing.assert_array_equal(got, want)
+    assert len(shapes) >= 3 and max(shapes) <= 8  # ladder-padded chunks
+
+
+def test_sharded_one_device_mesh_takes_fold(monkeypatch):
+    """ShardedBackend's varlen fallback on a 1-device mesh delegates to
+    the single-device fold path (nothing to shard; the mesh grouped
+    form lacks the fold + byte-packed window)."""
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models import batch_backend as bb
+    from sparksmithwaterman_tpu.ops import pallas_score as ps
+    from sparksmithwaterman_tpu.parallel.engine import ShardedBackend
+    from sparksmithwaterman_tpu.parallel.mesh import build_mesh
+
+    calls = []
+    real_multi = ps.pallas_lane_best_packed_multi
+
+    def fake_multi(*a, **k):
+        k["interpret"] = True
+        k["unroll"] = min(k.get("unroll", 8), 8)
+        calls.append(k["cf"])
+        return real_multi(*a, **k)
+
+    monkeypatch.setattr(
+        "sparksmithwaterman_tpu.ops.pallas_score.plan_varlen",
+        lambda *a, **k: None,
+    )
+    monkeypatch.setattr(
+        "sparksmithwaterman_tpu.ops.pallas_score."
+        "pallas_lane_best_packed_multi",
+        fake_multi,
+    )
+    rng = np.random.default_rng(31)
+    reads = _rand_seqs(rng, rng.integers(20, 90, size=9))
+    refs = _rand_seqs(rng, [150, 90, 130, 101])
+    cfg = AlignConfig(
+        ref_dir=".", in_dir=".", out_dir=".", strategy="shard_refs",
+        read_bucket=32, ref_bucket=64,
+    )
+    want = bb.BatchBackend(cfg).totals(reads, refs)
+    be = ShardedBackend(cfg, mesh=build_mesh((1, 1), n_devices=1))
+    be.use_pallas = True
+    got = be.totals(reads, refs)
+    np.testing.assert_array_equal(got, want)
+    assert calls and all(cf >= 1 for cf in calls)
