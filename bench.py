@@ -51,8 +51,9 @@ THRESHOLDS = {
     "pipeline_gcups": 215.0,
     # 131 kb refs via the round-5 multi-ref folded kernel, SUSTAINED
     # (pipeline-protocol best_of_async overlap; see bench_longref) —
-    # measured 196.4-206.7 (round 4 shipped 54.5 on this workload).
-    "longref_gcups": 170.0,
+    # measured 248.1 with the eager window build (round 4 shipped 54.5
+    # on this workload; the jitted shear build measured 196-207).
+    "longref_gcups": 200.0,
     # Same workload, sequential totals() calls (RTT-bound single-flush;
     # measured 85-107 — the spread is the tunnel round trip itself).
     "longref_single_gcups": 60.0,

@@ -731,13 +731,16 @@ def _windows_packed4_best(refs_i, m: int, t4: int, ilv: bool = False):
     return _diag_windows_packed4(refs_i, m, t4, ilv)
 
 
-# One-dispatch form for EAGER call sites (the varlen/multi wrappers are
-# not jitted themselves): the column-stack build is ~770 individual ops
-# at m=256 — op-by-op dispatch costs tens of ms of host time per flush
-# through the remote tunnel, all of which one compiled program removes.
-# Jitted HERE (not by decorating the build fns): the band path builds
-# windows inside a shard_map where an extra nested-jit boundary could
-# disturb the fusion its C<=256 cap guarantees.
+# Jitted shear form — used ONLY inside the shard_map band path (where
+# the column stack's 128x-padded per-lane temps OOM under the SPMD
+# partitioner) and available for probes.  The EAGER column build stays
+# the shipped form for the varlen/multi/engine call sites: context A/Bs
+# on hardware measured it FASTER than this jit despite isolated probes
+# favoring the shear (e2e 230.7 vs 220.3, long-ref sustained 248.1 vs
+# 205.1 GCUPS) — the eager ops' host dispatch overlaps device
+# execution, while the jitted program serializes a slower device-side
+# build (~10 GB/s strided-relayout wall at the 269 MB shape) into the
+# stream.
 _diag_windows_packed4_jit = jax.jit(
     _windows_packed4_best, static_argnames=("m", "t4", "ilv")
 )
@@ -1037,8 +1040,9 @@ def pallas_lane_best_packed_varlen(
     # layout, no separate transpose pass).  The packed reads still take
     # the standalone `_ilv_jit` (tiny, and fusing a lane transpose into
     # other jits wedges the remote XLA compile helper at these shapes).
-    win4 = _diag_windows_packed4_jit(
-        jnp.asarray(refs).astype(jnp.int32), m=m, t4=t4, ilv=ilv
+    # EAGER on purpose — see `_diag_windows_packed4_jit`'s context A/B.
+    win4 = _diag_windows_packed4(
+        jnp.asarray(refs).astype(jnp.int32), m, t4, ilv=ilv
     )
     packed_i = jnp.asarray(packed, jnp.int32)
     if ilv:
@@ -2001,8 +2005,9 @@ def pallas_lane_best_packed_multi(
     num_chunks = -(-diags // (4 * c4))
     t4 = num_chunks * c4
     ilv = m % 128 == 0 and m // 128 > 1
-    win4 = _diag_windows_packed4_jit(
-        jnp.asarray(refs).astype(jnp.int32), m=m, t4=t4, ilv=ilv
+    # EAGER column build — see `_diag_windows_packed4_jit`'s context A/B.
+    win4 = _diag_windows_packed4(
+        jnp.asarray(refs).astype(jnp.int32), m, t4, ilv=ilv
     )
     packed_i = jnp.asarray(packed, jnp.int32)
     if ilv:

@@ -630,7 +630,7 @@ class ShardedBackend(BatchBackend):
 
         from sparksmithwaterman_tpu.models.batch_backend import _pad_rows
         from sparksmithwaterman_tpu.ops.pallas_score import (
-            _diag_windows_packed4_jit,
+            _diag_windows_packed4,
             _ilv_jit,
             plan_varlen,
             varlen_start_phys,
@@ -673,8 +673,8 @@ class ShardedBackend(BatchBackend):
         # The window builds directly in the interleaved lane order (no
         # separate transpose pass; see _diag_windows_packed4).
         ilv = m_pack % 128 == 0 and m_pack // 128 > 1
-        win4 = _diag_windows_packed4_jit(
-            jnp.asarray(refs_p).astype(jnp.int32), m=m_pack, t4=t4, ilv=ilv
+        win4 = _diag_windows_packed4(
+            jnp.asarray(refs_p).astype(jnp.int32), m_pack, t4, ilv=ilv
         )
         packed_sharded = pack["packed"]
         si = np.asarray(pack["start_idx"])

@@ -256,3 +256,38 @@ def test_sharded_one_device_mesh_takes_fold(monkeypatch):
     got = be.totals(reads, refs)
     np.testing.assert_array_equal(got, want)
     assert calls and all(cf >= 1 for cf in calls)
+
+
+@pytest.mark.parametrize(
+    "m,t4,ilv",
+    [
+        (128, 72, False),
+        (128, 72, True),
+        (256, 104, True),
+        (384, 200, True),   # h=3: shear invalid -> column build
+        (512, 240, True),   # h=4
+        (1024, 400, True),  # h=8 (strided-sa tiles)
+    ],
+)
+def test_shear_window_build_matches_column(m, t4, ilv):
+    """`_diag_windows_packed4_shear` must be bit-identical to the column
+    build at every packed lane tier, both layouts (the shear assembles
+    the interleaved order from (shear-row, phase) regrouping)."""
+    import jax.numpy as jnp
+
+    from sparksmithwaterman_tpu.ops.pallas_score import (
+        _diag_windows_packed4,
+        _windows_packed4_best,
+    )
+
+    rng = np.random.default_rng(m + t4)
+    nmax = 4 * t4 - m + 1
+    for n in (min(m - 7, nmax), nmax, max(1, nmax - 13)):
+        refs = rng.integers(65, 85, size=(3, n)).astype(np.int32)
+        old = np.asarray(
+            _diag_windows_packed4(jnp.asarray(refs), m, t4, ilv=ilv)
+        )
+        new = np.asarray(
+            _windows_packed4_best(jnp.asarray(refs), m, t4, ilv=ilv)
+        )
+        np.testing.assert_array_equal(old, new)
