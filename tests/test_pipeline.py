@@ -166,3 +166,70 @@ def test_diff_tool_identical_and_divergent(tiny_dataset, tmp_path, capsys):
     )
     a, _ = diff_strategies(cfg_d, "serial", "batch", str(tmp_path / "d3"))
     assert a  # distributed semantics consistent across strategies too
+
+
+def test_pipeline_fuzz_cross_strategy_parity(tmp_path):
+    """Randomized end-to-end fuzz (round 5): random tiny corpora with
+    adversarial shapes (empty reads, length-1 refs, duplicate refs for
+    tie sets, multi-file) must produce byte-identical reports (modulo
+    the timing line) across serial / batch / shard_refs / shard_seq."""
+    import numpy as np
+
+    from sparksmithwaterman_tpu.config import AlignConfig
+    from sparksmithwaterman_tpu.models.pipeline import run_pipeline
+
+    bases = np.array(list("ACGT"))
+    rng = np.random.default_rng(57)
+
+    def strip(path):
+        return [
+            l
+            for l in open(path).read().splitlines()
+            if "Execution Time" not in l
+        ]
+
+    for trial in range(3):
+        root = tmp_path / f"fuzz{trial}"
+        (root / "refs").mkdir(parents=True)
+        (root / "inputs").mkdir()
+        n_refs = int(rng.integers(2, 7))
+        seqs = []
+        for i in range(n_refs):
+            n = int(rng.integers(1, 120))
+            seqs.append("".join(rng.choice(bases, size=n)))
+        if n_refs >= 2:
+            seqs[1] = seqs[0]  # guaranteed tie pair
+        # split refs across two files
+        half = max(1, n_refs // 2)
+        for fi, chunk in enumerate((seqs[:half], seqs[half:])):
+            if not chunk:
+                continue
+            lines = []
+            for j, s in enumerate(chunk):
+                lines.append(f">gi|{fi}{j}|fuzz{fi}{j}")
+                lines.append(s)
+            (root / "refs" / f"r{fi}.rna.fna").write_text(
+                "\n".join(lines) + "\n"
+            )
+        reads = [
+            "".join(rng.choice(bases, size=int(l)))
+            for l in rng.integers(1, 40, size=int(rng.integers(1, 9)))
+        ]
+        reads.append("")  # empty read line
+        (root / "inputs" / "input1.fa").write_text("\n".join(reads) + "\n")
+
+        outs = {}
+        for strategy in ("serial", "batch", "shard_refs", "shard_seq"):
+            cfg = AlignConfig(
+                ref_dir=str(root / "refs"),
+                in_dir=str(root / "inputs"),
+                out_dir=str(root / f"out_{strategy}"),
+                strategy=strategy,
+                read_bucket=8,
+                ref_bucket=8,
+            )
+            outs[strategy] = strip(run_pipeline(cfg)[0])
+        for strategy in ("batch", "shard_refs", "shard_seq"):
+            assert outs[strategy] == outs["serial"], (
+                f"trial {trial}: {strategy} diverged"
+            )
